@@ -1,0 +1,126 @@
+"""Model tests: Llama-family functional model and GPT-2 module model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tpu_bitsandbytes as tbnb
+from tpu_bitsandbytes.models import llama, gpt2
+from tpu_bitsandbytes.models.layers import QLinear4, rope_table, apply_rope
+
+
+class TestLayers:
+    def test_rope_rotation_preserves_norm(self, rng):
+        cos, sin = rope_table(64, 32)
+        x = jnp.asarray(rng.standard_normal((1, 8, 2, 64)).astype(np.float32))
+        pos = jnp.arange(8)
+        y = apply_rope(x, jnp.take(cos, pos, axis=0)[None],
+                       jnp.take(sin, pos, axis=0)[None])
+        assert np.allclose(np.linalg.norm(np.asarray(y), axis=-1),
+                           np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-4)
+
+    def test_rope_position_zero_identity(self, rng):
+        cos, sin = rope_table(32, 8)
+        x = jnp.asarray(rng.standard_normal((1, 1, 2, 32)).astype(np.float32))
+        y = apply_rope(x, cos[0:1][None], sin[0:1][None])
+        assert np.allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_qlinear4_matches_linear4bit(self, rng):
+        W = rng.standard_normal((64, 128)).astype(np.float32)
+        ql = QLinear4.quantize(jnp.asarray(W), dtype=jnp.float32)
+        x = jnp.asarray(rng.standard_normal((4, 128)).astype(np.float32))
+        y = np.asarray(ql(x), np.float32)
+        lin = tbnb.Linear4bit.from_arrays(jnp.asarray(W),
+                                          compute_dtype=jnp.float32)
+        ref = np.asarray(lin(x), np.float32)
+        assert np.abs(y - ref).max() < 1e-4
+
+    def test_qlinear4_double_quant(self, rng):
+        W = rng.standard_normal((64, 128)).astype(np.float32)
+        ql = QLinear4.quantize(jnp.asarray(W), compress_statistics=True,
+                               dtype=jnp.float32)
+        assert ql.absmax is None and ql.absmax_q is not None
+        x = jnp.asarray(rng.standard_normal((2, 128)).astype(np.float32))
+        y = np.asarray(ql(x), np.float32)
+        assert np.all(np.isfinite(y))
+
+
+class TestLlama:
+    def test_forward_shapes(self, rng):
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 10)))
+        logits = llama.forward(params, tokens, cfg)
+        assert logits.shape == (2, 10, cfg.vocab_size)
+        assert np.all(np.isfinite(np.asarray(logits, np.float32)))
+
+    def test_quantized_forward_close(self, rng):
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+        qparams = llama.quantize_params(params, dtype=jnp.float32)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)))
+        lg = np.asarray(llama.forward(params, tokens, cfg), np.float32)
+        lq = np.asarray(llama.forward(qparams, tokens, cfg), np.float32)
+        # next-token agreement is the functional criterion
+        agree = (lg.argmax(-1) == lq.argmax(-1)).mean()
+        assert agree > 0.6
+        c = (lg.ravel() @ lq.ravel()) / (
+            np.linalg.norm(lg) * np.linalg.norm(lq))
+        assert c > 0.95
+
+    def test_causality(self, rng):
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+        t1 = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)))
+        t2 = t1.at[0, -1].set((int(t1[0, -1]) + 1) % cfg.vocab_size)
+        l1 = np.asarray(llama.forward(params, t1, cfg), np.float32)
+        l2 = np.asarray(llama.forward(params, t2, cfg), np.float32)
+        # changing the last token must not affect earlier logits
+        assert np.allclose(l1[0, :-1], l2[0, :-1], atol=1e-4)
+        assert not np.allclose(l1[0, -1], l2[0, -1], atol=1e-3)
+
+    def test_count_params_7b_scale(self):
+        n = llama.count_params(llama.LlamaConfig.llama2_7b())
+        assert 6.5e9 < n < 7.5e9
+
+
+class TestGPT2:
+    def test_forward_and_quantize_model(self, rng):
+        cfg = gpt2.GPT2Config.tiny()
+        model = gpt2.GPT2LMHeadModel(cfg, jax.random.PRNGKey(0))
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)))
+        ref = np.asarray(model(ids), np.float32)
+        qcfg = tbnb.BitsAndBytesConfig(load_in_4bit=True,
+                                       bnb_4bit_compute_dtype=jnp.float32)
+        qm = tbnb.quantize_model(model, qcfg,
+                                 modules_to_not_convert=["lm_head"])
+        assert isinstance(qm.h[0].attn.c_attn, tbnb.Linear4bit)
+        assert isinstance(qm.lm_head, type(model.lm_head))
+        out = np.asarray(qm(ids), np.float32)
+        c = (out.ravel() @ ref.ravel()) / (
+            np.linalg.norm(out) * np.linalg.norm(ref) + 1e-9)
+        assert c > 0.9
+
+    def test_greedy_generate(self, rng):
+        cfg = gpt2.GPT2Config.tiny()
+        model = gpt2.GPT2LMHeadModel(cfg, jax.random.PRNGKey(0))
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 4)))
+        out = model.generate_greedy(ids, max_new_tokens=3)
+        assert out.shape == (1, 7)
+
+    def test_quantized_perplexity_delta(self, rng):
+        """BASELINE config 2: quantized ppl stays close to fp."""
+        cfg = gpt2.GPT2Config.tiny()
+        model = gpt2.GPT2LMHeadModel(cfg, jax.random.PRNGKey(0))
+        batches = [rng.integers(0, cfg.vocab_size, (2, 16)) for _ in range(2)]
+        ppl_fp = gpt2.perplexity(model, batches)
+        qm = tbnb.quantize_model(
+            model, tbnb.BitsAndBytesConfig(load_in_4bit=True,
+                                           bnb_4bit_compute_dtype=jnp.float32))
+        ppl_q = gpt2.perplexity(qm, batches)
+        # random weights -> ppl ~ vocab; quantization must not distort much
+        assert abs(ppl_q - ppl_fp) / ppl_fp < 0.05

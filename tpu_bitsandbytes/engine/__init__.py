@@ -1,0 +1,8 @@
+"""Decode engine: quantized KV cache, samplers, continuous batching."""
+
+from .kvcache import KVCache
+from .sampler import SamplingParams, sample
+from .engine import DecodeEngine, decode_step, prefill_step, Request
+
+__all__ = ["KVCache", "SamplingParams", "sample", "DecodeEngine",
+           "decode_step", "prefill_step", "Request"]

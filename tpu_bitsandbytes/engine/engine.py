@@ -1,0 +1,251 @@
+"""Single-host decode engine: jit decode step + continuous batching.
+
+This is the subsystem the reference lacks entirely (SURVEY §3.5: demo/chat.py
+drives HF's Python ``generate`` loop token by token). TPU-native design:
+
+* one jit-compiled **decode step** advances every active slot one token
+  against the slot-addressed quantized KV cache (static shapes, donated
+  buffers — no host↔device chatter beyond the sampled tokens);
+* **prefill** runs per admitted request at power-of-two bucketed lengths
+  (bounded compile count) and writes the slot's KV span;
+* a host-side **continuous-batching scheduler** admits queued requests into
+  free slots as others finish — the slot pool never drains to do so.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama
+from ..models.layers import linear_apply, rms_norm, apply_rope, gqa_attention, \
+    rope_table
+from .kvcache import KVCache
+from .sampler import SamplingParams, sample
+
+
+# ---------------------------------------------------------------------------
+# jitted model steps
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
+def decode_step(params, cache: KVCache, tokens: jnp.ndarray, active: jnp.ndarray,
+                config: llama.LlamaConfig):
+    """Advance every slot one token. tokens [B] int32, active [B] bool.
+
+    Returns (logits [B, V], new cache with lengths advanced for active slots).
+    """
+    b = tokens.shape[0]
+    positions = cache.lengths  # write position for this step
+    cos_full, sin_full = rope_table(config.hd, config.max_seq_len,
+                                    config.rope_theta)
+    cos = jnp.take(cos_full, positions, axis=0)[:, None]  # [B,1,D/2]
+    sin = jnp.take(sin_full, positions, axis=0)[:, None]
+
+    x = jnp.take(params["embed"], tokens, axis=0
+                 ).astype(config.dtype)[:, None, :]  # [B,1,H]
+    hd = config.hd
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_norm"], config.rms_eps)
+        q = linear_apply(layer["q_proj"], h).reshape(b, 1, config.num_heads, hd)
+        k = linear_apply(layer["k_proj"], h).reshape(b, 1, config.num_kv_heads, hd)
+        v = linear_apply(layer["v_proj"], h).reshape(b, 1, config.num_kv_heads, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache = cache.write_decode(li, k, v, positions)
+        k_all, v_all = cache.read(li)
+        attn = gqa_attention(q, k_all, v_all,
+                             causal_offset=positions[:, None])
+        x = x + linear_apply(layer["o_proj"], attn.reshape(b, 1, -1))
+        h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)
+        gate = linear_apply(layer["gate_proj"], h)
+        up = linear_apply(layer["up_proj"], h)
+        x = x + linear_apply(layer["down_proj"], jax.nn.silu(gate) * up)
+
+    x = rms_norm(x, params["final_norm"], config.rms_eps)
+    head = params.get("lm_head", None)
+    if head is None:
+        logits = x[:, 0] @ params["embed"].T.astype(x.dtype)
+    else:
+        logits = linear_apply(head, x[:, 0])
+    cache = dataclasses.replace(
+        cache, lengths=cache.lengths + active.astype(jnp.int32))
+    return logits.astype(jnp.float32), cache
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
+def prefill_step(params, cache: KVCache, tokens: jnp.ndarray, slot: jnp.ndarray,
+                 true_len: jnp.ndarray, config: llama.LlamaConfig):
+    """Prefill one request of (padded) shape [1, S_pad] into ``slot``.
+
+    Positions beyond ``true_len`` write garbage KV, but decode overwrites
+    position p before attending past it, so the garbage is never read.
+    Returns (last-token logits [V], cache with slot length = true_len).
+    """
+    logits, new_kv = llama.forward(params, tokens, config, return_kv=True)
+    for li, (k, v) in enumerate(new_kv):
+        cache = cache.write_prefill(li, slot, k[0], v[0], 0)
+    cache = dataclasses.replace(
+        cache, lengths=cache.lengths.at[slot].set(true_len))
+    last = jnp.take_along_axis(
+        logits[0], (true_len - 1)[None, None], axis=0)[0]
+    return last.astype(jnp.float32), cache
+
+
+# ---------------------------------------------------------------------------
+# continuous batching
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: List[int]
+    params: SamplingParams
+    generated: List[int] = dataclasses.field(default_factory=list)
+    slot: Optional[int] = None
+    done: bool = False
+    pending_first: Optional[int] = None   # first token produced by prefill
+
+
+def _bucket(n: int, max_seq: int) -> int:
+    b = 16
+    while b < n:
+        b *= 2
+    return min(b, max_seq)
+
+
+class DecodeEngine:
+    """Slot-based continuous-batching decode engine over a Llama-family model.
+
+    ``params`` may be full-precision or NF4-quantized
+    (:func:`tpu_bitsandbytes.models.llama.quantize_params`).
+    """
+
+    def __init__(self, params, config: llama.LlamaConfig, *,
+                 max_batch: int = 8, max_seq: Optional[int] = None,
+                 quantized_kv: bool = True, seed: int = 0):
+        self.params = params
+        self.config = config
+        self.max_batch = max_batch
+        self.max_seq = max_seq or config.max_seq_len
+        self.cache = KVCache.create(
+            config.num_layers, max_batch, self.max_seq, config.num_kv_heads,
+            config.hd, quantized=quantized_kv, dtype=config.dtype)
+        self.key = jax.random.PRNGKey(seed)
+        self._uid = 0
+        self.waiting: List[Request] = []
+        self.active: Dict[int, Request] = {}   # slot -> request
+        self.finished: List[Request] = []
+
+    # -- request management ---------------------------------------------
+    def add_request(self, prompt_tokens, sampling: Optional[SamplingParams] = None
+                    ) -> int:
+        self._uid += 1
+        self.waiting.append(Request(self._uid, list(map(int, prompt_tokens)),
+                                    sampling or SamplingParams()))
+        return self._uid
+
+    def _free_slots(self) -> List[int]:
+        return [s for s in range(self.max_batch) if s not in self.active]
+
+    # -- engine steps -----------------------------------------------------
+    def _admit(self):
+        free = self._free_slots()
+        while free and self.waiting:
+            slot = free.pop(0)
+            req = self.waiting.pop(0)
+            req.slot = slot
+            s = len(req.prompt)
+            s_pad = _bucket(s, self.max_seq)
+            toks = np.zeros((1, s_pad), np.int32)
+            toks[0, :s] = req.prompt
+            last_logits, self.cache = prefill_step(
+                self.params, self.cache, jnp.asarray(toks),
+                jnp.int32(slot), jnp.int32(s), self.config)
+            self.key, sub = jax.random.split(self.key)
+            first = int(sample(last_logits[None, :], sub, req.params)[0])
+            req.pending_first = first
+            self.active[slot] = req
+
+    def _collect(self, slot: int, req: Request, token: int):
+        req.generated.append(token)
+        sp = req.params
+        if ((sp.eos_token_id is not None and token == sp.eos_token_id)
+                or len(req.generated) >= sp.max_new_tokens):
+            req.done = True
+            self.finished.append(req)
+            del self.active[slot]
+
+    def step(self) -> bool:
+        """One engine iteration: admit, then one batched decode step.
+
+        Returns False when no work remains.
+        """
+        self._admit()
+        if not self.active:
+            return bool(self.waiting)
+
+        # First tokens produced by prefill are consumed as this step's input.
+        tokens = np.zeros((self.max_batch,), np.int32)
+        active_mask = np.zeros((self.max_batch,), bool)
+        for slot, req in list(self.active.items()):
+            if req.pending_first is not None:
+                self._collect(slot, req, req.pending_first)
+                last = req.pending_first
+                req.pending_first = None
+                if req.done:
+                    continue
+            else:
+                last = req.generated[-1]
+            tokens[slot] = last
+            active_mask[slot] = True
+
+        if not active_mask.any():
+            return bool(self.waiting or self.active)
+
+        logits, self.cache = decode_step(
+            self.params, self.cache, jnp.asarray(tokens),
+            jnp.asarray(active_mask), self.config)
+        self.key, sub = jax.random.split(self.key)
+        # sample per-slot (sampling params may differ; greedy common case
+        # batched, others per-row)
+        from .sampler import greedy as greedy_fn
+        all_greedy = all(self.active[s].params.temperature <= 0
+                         for s in self.active)
+        if all_greedy:
+            toks = np.asarray(greedy_fn(logits))
+        else:
+            toks = np.zeros((self.max_batch,), np.int64)
+            for slot, req in self.active.items():
+                self.key, sub = jax.random.split(self.key)
+                toks[slot] = int(sample(logits[slot][None], sub, req.params)[0])
+        for slot in list(self.active.keys()):
+            if active_mask[slot]:
+                self._collect(slot, self.active.get(slot), int(toks[slot]))
+        return bool(self.waiting or self.active)
+
+    # -- convenience ------------------------------------------------------
+    def generate(self, prompts: List[List[int]],
+                 sampling: Optional[SamplingParams] = None
+                 ) -> List[List[int]]:
+        uids = [self.add_request(p, sampling) for p in prompts]
+        while self.step():
+            pass
+        by_uid = {r.uid: r.generated for r in self.finished}
+        return [by_uid[u] for u in uids]
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "active": len(self.active),
+            "waiting": len(self.waiting),
+            "finished": len(self.finished),
+            "kv_bytes_per_token": self.cache.bytes_per_token(),
+        }

@@ -1,0 +1,200 @@
+"""Functional transformer building blocks with quantizable weights.
+
+The engine-side counterpart of the nn module layer: model parameters are
+plain pytrees of arrays plus :class:`QLinear4` quantized-linear leaves, so a
+whole model jits/shards/checkpoints as one tree (the reference has no model
+layer — demo/chat.py leans on HF torch modules; here the decode engine needs
+its own, SURVEY §3.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..functional import (
+    QuantState,
+    _pad_k,
+    dequantize_blockwise,
+    quantize_4bit,
+    quantize_blockwise,
+)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QLinear4:
+    """4-bit quantized linear weight for functional models.
+
+    Storage is 2D and shard-friendly: ``packed`` [N, K_pad/2] uint8 (row-wise
+    nibble pairs — same codes as :func:`quantize_4bit`), ``absmax``
+    [N, blocks_per_row]. Column-parallel TP shards dim 0 of both; row-parallel
+    shards dim 1 (absmax blocks align with packed bytes since
+    blocksize/2 | K2 tile). ``absmax_q``/``absmax_state`` hold the
+    double-quantized scales when compress_statistics is on.
+    """
+
+    packed: jnp.ndarray
+    absmax: Optional[jnp.ndarray]
+    shape: Tuple[int, int]
+    blocksize: int = 64
+    quant_type: str = "nf4"
+    dtype: Any = jnp.bfloat16
+    bias: Optional[jnp.ndarray] = None
+    absmax_q: Optional[jnp.ndarray] = None          # int8 [N, nb] when dq
+    absmax_state: Optional[QuantState] = None       # nested scale state
+
+    def tree_flatten(self):
+        return ((self.packed, self.absmax, self.bias, self.absmax_q,
+                 self.absmax_state),
+                (self.shape, self.blocksize, self.quant_type, self.dtype))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        packed, absmax, bias, absmax_q, absmax_state = leaves
+        shape, blocksize, quant_type, dtype = aux
+        obj = cls.__new__(cls)
+        obj.packed, obj.absmax, obj.bias = packed, absmax, bias
+        obj.absmax_q, obj.absmax_state = absmax_q, absmax_state
+        obj.shape, obj.blocksize = shape, blocksize
+        obj.quant_type, obj.dtype = quant_type, dtype
+        return obj
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def quantize(cls, w: jnp.ndarray, blocksize: int = 64,
+                 quant_type: str = "nf4", dtype=jnp.bfloat16,
+                 bias: Optional[jnp.ndarray] = None,
+                 compress_statistics: bool = False) -> "QLinear4":
+        n, k = w.shape
+        packed_flat, state = quantize_4bit(
+            w, blocksize=blocksize, quant_type=quant_type,
+            compress_statistics=compress_statistics)
+        k2 = _pad_k(k, blocksize) // 2
+        nb = _pad_k(k, blocksize) // blocksize
+        if compress_statistics:
+            return cls(packed=packed_flat.reshape(n, k2), absmax=None,
+                       shape=(n, k), blocksize=blocksize, quant_type=quant_type,
+                       dtype=jnp.dtype(dtype), bias=bias,
+                       absmax_q=state.absmax.reshape(n, nb),
+                       absmax_state=state.state2)
+        return cls(packed=packed_flat.reshape(n, k2),
+                   absmax=state.absmax.reshape(n, nb), shape=(n, k),
+                   blocksize=blocksize, quant_type=quant_type,
+                   dtype=jnp.dtype(dtype), bias=bias)
+
+    def materialize_absmax(self) -> jnp.ndarray:
+        if self.absmax is not None:
+            return self.absmax
+        n, nb = self.absmax_q.shape
+        flat = dequantize_blockwise(self.absmax_q.reshape(-1), self.absmax_state)
+        return flat.reshape(n, nb)
+
+    def quant_state(self) -> QuantState:
+        return QuantState(
+            absmax=self.materialize_absmax().reshape(-1),
+            shape=tuple(self.shape), blocksize=self.blocksize,
+            quant_type=self.quant_type, dtype=self.dtype)
+
+    # -- apply ------------------------------------------------------------
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..functional import matmul_4bit
+        orig_shape = x.shape
+        x2 = x.reshape(-1, orig_shape[-1])
+        out = matmul_4bit(x2, self.packed.reshape(-1), self.quant_state(),
+                          bias=self.bias, compute_dtype=self.dtype)
+        return out.reshape(*orig_shape[:-1], self.shape[0])
+
+
+def linear_apply(w, x):
+    """Apply a weight leaf: QLinear4/LoRALinear (callable pytrees), dict with
+    'w' (+optional 'b'), or a raw [N, K] array."""
+    if isinstance(w, dict):
+        out = x @ w["w"].T.astype(x.dtype)
+        if w.get("b") is not None:
+            out = out + w["b"].astype(out.dtype)
+        return out
+    if callable(w) and not isinstance(w, jnp.ndarray):
+        return w(x)
+    return x @ w.T.astype(x.dtype)
+
+
+# --- norms / activations ----------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5):
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return ((x32 * jax.lax.rsqrt(var + eps)).astype(dtype)
+            * weight.astype(dtype))
+
+
+def layer_norm(x, weight, bias, eps: float = 1e-5):
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y.astype(dtype) * weight.astype(dtype)) + bias.astype(dtype)
+
+
+# --- RoPE -------------------------------------------------------------------
+
+
+def rope_table(head_dim: int, max_seq: int, theta: float = 10000.0):
+    """Precompute RoPE cos/sin tables [max_seq, head_dim/2] (fp32)."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2) / head_dim))
+    t = np.arange(max_seq)
+    freqs = np.outer(t, inv_freq)
+    return jnp.asarray(np.cos(freqs), jnp.float32), \
+        jnp.asarray(np.sin(freqs), jnp.float32)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """x [..., S, H, D]; cos/sin [S, D/2] (gathered for the right positions)."""
+    d2 = x.shape[-1] // 2
+    x1 = x[..., :d2]
+    x2 = x[..., d2:]
+    # cos/sin broadcast over head dim: [..., S, 1, D/2]
+    c = cos[..., :, None, :].astype(x.dtype)
+    s = sin[..., :, None, :].astype(x.dtype)
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+# --- attention --------------------------------------------------------------
+
+
+def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None):
+    """Grouped-query attention over full K/V.
+
+    q: [B, S, H, D]; k/v: [B, T, H_kv, D]. Returns [B, S, H, D].
+    ``causal_offset``: positions of q within the T axis (int array [B, S] or
+    None for aligned prefill where S == T).
+    """
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    h_kv = k.shape[2]
+    rep = h // h_kv
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    qg = q.reshape(b, s, h_kv, rep, d)
+    logits = jnp.einsum("bshrd,bthd->bhrst", qg.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    if mask is None:
+        if causal_offset is None:
+            qpos = jnp.arange(s)[:, None]
+            kpos = jnp.arange(t)[None, :]
+            mask = (kpos <= qpos)[None, None, None, :, :]   # [1,1,1,S,T]
+        else:
+            kpos = jnp.arange(t)[None, None, :]
+            mask = (kpos <= causal_offset[:, :, None])      # [B, S, T]
+            mask = mask[:, None, None, :, :]                # [B,1,1,S,T]
+    logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhrst,bthd->bshrd", probs, v.astype(jnp.float32))
+    return out.reshape(b, s, h, d).astype(q.dtype)

@@ -1,0 +1,217 @@
+"""Llama-family model — functional, quantizable, engine-ready.
+
+The flagship model for the NF4 decode engine (BASELINE.json configs 3-5).
+Parameters are a plain pytree: per-layer dicts whose linear leaves are either
+raw arrays (fp path) or :class:`QLinear4` (quantized). Forward supports both
+full prefill and single-token decode against a KV cache supplied by the
+engine (tpu_bitsandbytes/engine).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import (
+    QLinear4,
+    apply_rope,
+    gqa_attention,
+    linear_apply,
+    rms_norm,
+    rope_table,
+)
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: Optional[int] = None
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    max_seq_len: int = 2048
+    dtype: Any = jnp.bfloat16
+    tie_embeddings: bool = False
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    # ---- canned sizes ---------------------------------------------------
+    @staticmethod
+    def tiny() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=512, hidden_size=128,
+                           intermediate_size=256, num_layers=2, num_heads=4,
+                           num_kv_heads=2, max_seq_len=128)
+
+    @staticmethod
+    def llama2_7b() -> "LlamaConfig":
+        return LlamaConfig()  # defaults are 7B
+
+    @staticmethod
+    def llama2_13b() -> "LlamaConfig":
+        return LlamaConfig(hidden_size=5120, intermediate_size=13824,
+                           num_layers=40, num_heads=40, num_kv_heads=40)
+
+    @staticmethod
+    def llama2_70b() -> "LlamaConfig":
+        return LlamaConfig(hidden_size=8192, intermediate_size=28672,
+                           num_layers=80, num_heads=64, num_kv_heads=8)
+
+
+_LINEAR_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
+                 "gate_proj", "up_proj", "down_proj")
+
+
+def init_params(key: jax.Array, config: LlamaConfig,
+                dtype=None) -> Params:
+    """Random-init full-precision params (for benches and tests)."""
+    dtype = dtype or config.dtype
+    h, hd = config.hidden_size, config.hd
+    n_q = config.num_heads * hd
+    n_kv = config.num_kv_heads * hd
+    shapes = {
+        "q_proj": (n_q, h), "k_proj": (n_kv, h), "v_proj": (n_kv, h),
+        "o_proj": (h, n_q),
+        "gate_proj": (config.intermediate_size, h),
+        "up_proj": (config.intermediate_size, h),
+        "down_proj": (h, config.intermediate_size),
+    }
+    keys = jax.random.split(key, config.num_layers + 2)
+
+    def dense(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32)
+                * (0.02)).astype(dtype)
+
+    layers = []
+    for li in range(config.num_layers):
+        lk = jax.random.split(keys[li], len(_LINEAR_NAMES))
+        layer = {name: dense(lk[i], shapes[name])
+                 for i, name in enumerate(_LINEAR_NAMES)}
+        layer["input_norm"] = jnp.ones((h,), dtype)
+        layer["post_attn_norm"] = jnp.ones((h,), dtype)
+        layers.append(layer)
+    params = {
+        "embed": dense(keys[-2], (config.vocab_size, h)),
+        "layers": layers,
+        "final_norm": jnp.ones((h,), dtype),
+    }
+    if not config.tie_embeddings:
+        params["lm_head"] = dense(keys[-1], (config.vocab_size, h))
+    return params
+
+
+def quantize_params(params: Params, blocksize: int = 64,
+                    quant_type: str = "nf4", dtype=jnp.bfloat16,
+                    compress_statistics: bool = False,
+                    quantize_embed: bool = False) -> Params:
+    """Replace every linear projection with a :class:`QLinear4`.
+
+    The engine-side equivalent of ``quantize_model`` surgery
+    (integration.py:199-251 in the reference) for functional param trees.
+    """
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        ql = dict(layer)
+        for name in _LINEAR_NAMES:
+            ql[name] = QLinear4.quantize(
+                layer[name].astype(jnp.float32), blocksize=blocksize,
+                quant_type=quant_type, dtype=dtype,
+                compress_statistics=compress_statistics)
+        out["layers"].append(ql)
+    if "lm_head" in params:
+        out["lm_head"] = QLinear4.quantize(
+            params["lm_head"].astype(jnp.float32), blocksize=blocksize,
+            quant_type=quant_type, dtype=dtype,
+            compress_statistics=compress_statistics)
+    return out
+
+
+def _attention_block(layer, x, cos, sin, config: LlamaConfig, cache_kv=None,
+                     positions=None):
+    """Returns (attn_out, (k_new, v_new)). cache_kv: (k_all, v_all) with the
+    new k/v already written by the caller for decode, or None for prefill."""
+    b, s, h = x.shape
+    hd = config.hd
+    q = linear_apply(layer["q_proj"], x).reshape(b, s, config.num_heads, hd)
+    k = linear_apply(layer["k_proj"], x).reshape(b, s, config.num_kv_heads, hd)
+    v = linear_apply(layer["v_proj"], x).reshape(b, s, config.num_kv_heads, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    if cache_kv is None:
+        attn = gqa_attention(q, k, v)
+    else:
+        k_all, v_all, causal_offset = cache_kv
+        attn = gqa_attention(q, k_all, v_all, causal_offset=causal_offset)
+    out = linear_apply(layer["o_proj"], attn.reshape(b, s, -1))
+    return out, (k, v)
+
+
+def _mlp_block(layer, x):
+    gate = linear_apply(layer["gate_proj"], x)
+    up = linear_apply(layer["up_proj"], x)
+    return linear_apply(layer["down_proj"], jax.nn.silu(gate) * up)
+
+
+def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
+            positions: Optional[jnp.ndarray] = None,
+            kv_caches=None, return_kv: bool = False):
+    """Full forward.
+
+    tokens [B, S] int32. ``positions`` [B, S] (default aranged). Without
+    caches this is a causal prefill; with ``kv_caches`` (list per layer of
+    (k_all [B,T,Hkv,D], v_all, causal_offset [B,S])) attention runs against
+    the cache contents. Returns logits [B, S, V] (+ list of per-layer new
+    (k, v) when ``return_kv``).
+    """
+    b, s = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    cos_full, sin_full = rope_table(config.hd, config.max_seq_len,
+                                    config.rope_theta)
+    cos = jnp.take(cos_full, positions, axis=0)  # [B, S, D/2]
+    sin = jnp.take(sin_full, positions, axis=0)
+
+    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    new_kv = []
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_norm"], config.rms_eps)
+        cache_kv = kv_caches[li] if kv_caches is not None else None
+        attn, kv = _attention_block(layer, h, cos, sin, config, cache_kv)
+        x = x + attn
+        h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)
+        x = x + _mlp_block(layer, h)
+        if return_kv:
+            new_kv.append(kv)
+    x = rms_norm(x, params["final_norm"], config.rms_eps)
+    head = params.get("lm_head", None)
+    if head is None:
+        logits = x @ params["embed"].T.astype(x.dtype)
+    else:
+        logits = linear_apply(head, x)
+    if return_kv:
+        return logits, new_kv
+    return logits
+
+
+def count_params(config: LlamaConfig) -> int:
+    h, i, v = config.hidden_size, config.intermediate_size, config.vocab_size
+    hd = config.hd
+    per_layer = (config.num_heads * hd * h + 2 * config.num_kv_heads * hd * h
+                 + h * config.num_heads * hd + 3 * h * i + 2 * h)
+    total = config.num_layers * per_layer + v * h + h
+    if not config.tie_embeddings:
+        total += v * h
+    return total

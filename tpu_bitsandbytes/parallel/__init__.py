@@ -1,0 +1,14 @@
+"""Multi-chip parallelism: meshes, sharding rules, TP decode, QLoRA training."""
+
+from .mesh import make_mesh, replicated, shard
+from .sharding import (
+    llama_param_specs, shard_params, kv_cache_spec, spec_tree,
+)
+from .tp import make_tp_decode_step
+from .train import make_qlora_train_step
+
+__all__ = [
+    "make_mesh", "replicated", "shard",
+    "llama_param_specs", "shard_params", "kv_cache_spec", "spec_tree",
+    "make_tp_decode_step", "make_qlora_train_step",
+]

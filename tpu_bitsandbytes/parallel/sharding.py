@@ -1,0 +1,110 @@
+"""Sharding rules for quantized Llama-family params and the KV cache.
+
+Megatron-style tensor parallelism, adapted to packed 4-bit storage
+(SURVEY §2.3 / §7): a column-parallel linear shards output rows — for a
+:class:`QLinear4` that is dim 0 of BOTH ``packed`` [N, K2] and ``absmax``
+[N, blocks] (each row's scales travel with its codes); a row-parallel linear
+shards the contraction — dim 1 of both, which stays consistent because
+``blocksize/2`` divides the per-device K2 shard. The KV cache shards its
+kv-head axis over tp and its slot axis over dp.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.layers import QLinear4
+from ..models import llama
+
+# column-parallel: shard N (dim 0). row-parallel: shard K (dim 1).
+_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_ROW = ("o_proj", "down_proj")
+
+
+def _linear_spec(w, col: bool):
+    """Spec mirroring the weight leaf structure (None fields stay None)."""
+    if isinstance(w, QLinear4):
+        if w.absmax_state is not None:
+            raise NotImplementedError(
+                "TP sharding of double-quantized absmax is not supported yet; "
+                "quantize with compress_statistics=False for sharded params")
+        two_d = P("tp", None) if col else P(None, "tp")
+        return QLinear4(
+            packed=two_d,
+            absmax=None if w.absmax is None else two_d,
+            shape=w.shape, blocksize=w.blocksize, quant_type=w.quant_type,
+            dtype=w.dtype,
+            bias=None if w.bias is None else (P("tp") if col else P()),
+            absmax_q=None if w.absmax_q is None else two_d,
+            absmax_state=None)
+    return P("tp", None) if col else P(None, "tp")
+
+
+def llama_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec pytree matching a (possibly quantized) llama param tree."""
+    specs: Dict[str, Any] = {
+        "embed": P(),              # replicated (vocab gather stays local)
+        "final_norm": P(),
+    }
+    layer_specs = []
+    for layer in params["layers"]:
+        ls = {"input_norm": P(), "post_attn_norm": P()}
+        for name in _COL:
+            ls[name] = _linear_spec(layer[name], col=True)
+        for name in _ROW:
+            ls[name] = _linear_spec(layer[name], col=False)
+        layer_specs.append(ls)
+    specs["layers"] = layer_specs
+    if "lm_head" in params:
+        specs["lm_head"] = _linear_spec(params["lm_head"], col=True)
+    return specs
+
+
+def _spec_leaves(params, specs):
+    """Pair param leaves with spec leaves (specs mirror structure; QLinear4
+    spec objects carry per-field specs)."""
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_s = jax.tree_util.tree_flatten(
+        specs, is_leaf=lambda x: isinstance(x, P))[0]
+    return flat_p, flat_s, treedef
+
+
+def shard_params(params, mesh: Mesh, specs=None):
+    """device_put every leaf with its NamedSharding."""
+    if specs is None:
+        specs = llama_param_specs(params)
+    flat_p, flat_s, treedef = _spec_leaves(params, specs)
+    assert len(flat_p) == len(flat_s), (len(flat_p), len(flat_s))
+    out = [jax.device_put(p, NamedSharding(mesh, s))
+           for p, s in zip(flat_p, flat_s)]
+    return treedef.unflatten(out)
+
+
+def kv_cache_spec(cache=None):
+    """KV cache [L, B, S, H_kv, D]: heads over tp, slots over dp.
+
+    Pass the actual cache so the spec pytree's static aux (quantized, dtype)
+    matches — required for structure matching in shard_map/jit shardings.
+    """
+    from ..engine.kvcache import KVCache
+    quantized = True if cache is None else cache.quantized
+    dtype = None if cache is None else cache.dtype
+    scale_spec = P(None, "dp", None, "tp") if quantized else None
+    return KVCache(
+        k=P(None, "dp", None, "tp", None),
+        v=P(None, "dp", None, "tp", None),
+        k_scale=scale_spec,
+        v_scale=scale_spec,
+        lengths=P("dp"),
+        quantized=quantized, dtype=dtype)
+
+
+def spec_tree(params, specs=None):
+    """Specs as a flat-matched pytree usable for jit in_shardings/shard_map."""
+    if specs is None:
+        specs = llama_param_specs(params)
+    flat_p, flat_s, treedef = _spec_leaves(params, specs)
+    return treedef.unflatten(flat_s)
