@@ -1,0 +1,126 @@
+"""HuggingFace checkpoint conversion (local files — no network required).
+
+Maps a transformers Llama/GPT-2 ``state_dict`` (torch tensors or numpy
+arrays) onto this framework's param trees, optionally quantizing to NF4 on
+the fly — the TPU analog of the reference's ``quantize_model`` over an HF
+torch model (integration.py:199-251 + demo/chat.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..models import llama
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach()
+        if hasattr(t, "cpu"):
+            t = t.cpu()
+        if str(t.dtype) == "torch.bfloat16":
+            t = t.float()
+        return t.numpy()
+    return np.asarray(t)
+
+
+def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
+    """Build LlamaConfig from a transformers LlamaConfig-like object/dict."""
+    get = (hf_config.get if isinstance(hf_config, dict)
+           else lambda k, d=None: getattr(hf_config, k, d))
+    return llama.LlamaConfig(
+        vocab_size=get("vocab_size"),
+        hidden_size=get("hidden_size"),
+        intermediate_size=get("intermediate_size"),
+        num_layers=get("num_hidden_layers"),
+        num_heads=get("num_attention_heads"),
+        num_kv_heads=get("num_key_value_heads",
+                         get("num_attention_heads")),
+        rope_theta=get("rope_theta", 10000.0),
+        rms_eps=get("rms_norm_eps", 1e-5),
+        max_seq_len=get("max_position_embeddings", 2048),
+        tie_embeddings=bool(get("tie_word_embeddings", False)),
+    )
+
+
+def llama_params_from_state_dict(state_dict: Dict[str, Any],
+                                 config: llama.LlamaConfig,
+                                 dtype=jnp.bfloat16,
+                                 quantize: bool = False,
+                                 blocksize: int = 64,
+                                 quant_type: str = "nf4",
+                                 compress_statistics: bool = False) -> dict:
+    """Convert an HF Llama state_dict to a functional param tree.
+
+    With ``quantize=True``, each projection is quantized layer-by-layer as it
+    is converted, so peak host/device memory stays ~1 layer of fp weights
+    above the packed size.
+    """
+    from ..models.layers import QLinear4
+
+    def grab(name):
+        for prefix in ("model.", ""):
+            key = prefix + name
+            if key in state_dict:
+                return _np(state_dict[key])
+        raise KeyError(name)
+
+    def lin(name):
+        w = jnp.asarray(grab(name))
+        if quantize:
+            return QLinear4.quantize(
+                w.astype(jnp.float32), blocksize=blocksize,
+                quant_type=quant_type, dtype=dtype,
+                compress_statistics=compress_statistics)
+        return w.astype(dtype)
+
+    layers = []
+    for li in range(config.num_layers):
+        p = f"layers.{li}."
+        layers.append({
+            "q_proj": lin(p + "self_attn.q_proj.weight"),
+            "k_proj": lin(p + "self_attn.k_proj.weight"),
+            "v_proj": lin(p + "self_attn.v_proj.weight"),
+            "o_proj": lin(p + "self_attn.o_proj.weight"),
+            "gate_proj": lin(p + "mlp.gate_proj.weight"),
+            "up_proj": lin(p + "mlp.up_proj.weight"),
+            "down_proj": lin(p + "mlp.down_proj.weight"),
+            "input_norm": jnp.asarray(
+                grab(p + "input_layernorm.weight")).astype(dtype),
+            "post_attn_norm": jnp.asarray(
+                grab(p + "post_attention_layernorm.weight")).astype(dtype),
+        })
+    params = {
+        "embed": jnp.asarray(grab("embed_tokens.weight")).astype(dtype),
+        "layers": layers,
+        "final_norm": jnp.asarray(grab("norm.weight")).astype(dtype),
+    }
+    if not config.tie_embeddings:
+        try:
+            params["lm_head"] = lin("lm_head.weight")
+        except KeyError:
+            pass  # tied
+    return params
+
+
+def load_llama_from_pretrained(path_or_model, dtype=jnp.bfloat16,
+                               quantize: bool = True, blocksize: int = 64,
+                               quant_type: str = "nf4",
+                               compress_statistics: bool = False):
+    """Load a local HF Llama checkpoint (directory or model object) into a
+    (config, params) pair, quantizing by default."""
+    if isinstance(path_or_model, str):
+        import transformers
+        model = transformers.AutoModelForCausalLM.from_pretrained(
+            path_or_model, torch_dtype="float32", local_files_only=True)
+    else:
+        model = path_or_model
+    config = llama_config_from_hf(model.config)
+    params = llama_params_from_state_dict(
+        model.state_dict(), config, dtype=dtype, quantize=quantize,
+        blocksize=blocksize, quant_type=quant_type,
+        compress_statistics=compress_statistics)
+    return config, params
