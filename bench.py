@@ -92,7 +92,8 @@ def bytes_per_token(config, cache, blocksize=64, batch=1):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7b", choices=["7b", "tiny", "1b"])
-    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="decode slots (BASELINE config 3: continuous batching)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--context", type=int, default=128)
     ap.add_argument("--max-seq", type=int, default=512)

@@ -772,3 +772,87 @@ def run_K(k2_t=2048, iters=10):
         print(f"K k2_t={k2_t}: WRONG reldiff={rel}")
         return
     timed(f"K k2_t={k2_t} rel={rel:.4f}", ff, (xer, xor, pT, amT), WORK, iters)
+
+
+# --- Variant L: all-16-bit decode pipeline ----------------------------------
+# u8 -> i16 widen (half the relayout of i32), masks+selects in 16-bit
+# (2x lanes/vreg), i16 mask -> bf16 convert is same-width (cheap), bf16 MXU.
+def kernel_L(xe_ref, xo_ref, w_ref, am_ref, out_ref, acc_ref, *, n_k):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w16 = w_ref[:].astype(jnp.int16)
+    # no 16-bit shifts on TPU: extract the high nibble by comparing the
+    # masked byte against i<<4 instead of shifting
+    lo = w16 & jnp.int16(0x0F)
+    hi = w16 & jnp.int16(0xF0)
+
+    def lut16(c, step):
+        out = (c == jnp.int16(0)).astype(jnp.bfloat16) * jnp.bfloat16(
+            NF4_CODEBOOK_NP[0])
+        for i in range(1, 16):
+            out = out + (c == jnp.int16(i * step)).astype(
+                jnp.bfloat16) * jnp.bfloat16(NF4_CODEBOOK_NP[i])
+        return out
+
+    vlo = lut16(lo, 1)
+    vhi = lut16(hi, 16)
+    am_t, n_t = am_ref.shape
+    k2_t = am_t * BS2
+    sub_of = jax.lax.broadcasted_iota(jnp.int32, (k2_t, am_t), 0) // BS2
+    col = jax.lax.broadcasted_iota(jnp.int32, (k2_t, am_t), 1)
+    expand = (sub_of == col).astype(jnp.float32)
+    scale = jax.lax.dot_general(
+        expand, am_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    vlo = vlo * scale
+    vhi = vhi * scale
+    dn = (((1,), (0,)), ((), ()))
+    acc_ref[:] += jax.lax.dot_general(
+        xe_ref[:], vlo, dn, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        xo_ref[:], vhi, dn, preferred_element_type=jnp.float32)
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def run_L(m, m_t, n_t, k2_t, iters=10):
+    p2d, am, x, Wd = make_data(m)
+    k2 = K // 2
+    pT = jnp.asarray(np.ascontiguousarray(p2d.T))
+    amT = jnp.asarray(np.ascontiguousarray(am.T))
+    xp = np.zeros((max(m, m_t), K), np.float32)
+    xp[:m] = x
+    xe = jnp.asarray(xp[:, 0::2], dtype=jnp.bfloat16)
+    xo = jnp.asarray(xp[:, 1::2], dtype=jnp.bfloat16)
+    gm, gn, gk = xe.shape[0] // m_t, N // n_t, k2 // k2_t
+    am_t = k2_t // BS2
+    kern = functools.partial(kernel_L, n_k=gk)
+    call = pl.pallas_call(
+        kern,
+        grid=(gm, gn, gk),
+        in_specs=[
+            pl.BlockSpec((m_t, k2_t), lambda im, i, j: (im, j)),
+            pl.BlockSpec((m_t, k2_t), lambda im, i, j: (im, j)),
+            pl.BlockSpec((k2_t, n_t), lambda im, i, j: (j, i)),
+            pl.BlockSpec((am_t, n_t), lambda im, i, j: (j, i)),
+        ],
+        out_specs=pl.BlockSpec((m_t, n_t), lambda im, i, j: (im, i)),
+        out_shape=jax.ShapeDtypeStruct((xe.shape[0], N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m_t, n_t), jnp.float32)],
+    )
+    body = lambda a, b, c, d: call(a, b, c, d)
+    ff = chain(body)
+    y = jax.jit(body)(xe, xo, pT, amT)
+    ref = x @ Wd.T
+    rel = np.abs(np.asarray(y)[:m] - ref).max() / np.abs(ref).max()
+    tag = f"L m={m} tiles=({m_t},{n_t},{k2_t})"
+    if rel > 0.05:
+        print(f"{tag}: WRONG reldiff={rel}")
+        return
+    timed(tag + f" rel={rel:.4f}", ff, (xe, xo, pT, amT), WORK, iters)

@@ -137,3 +137,57 @@ class TestHFConversion:
         c = (lf.ravel() @ lq.ravel()) / (
             np.linalg.norm(lf) * np.linalg.norm(lq) + 1e-9)
         assert c > 0.95
+
+
+class TestGPT2Conversion:
+    def test_gpt2_state_dict_conversion(self, rng):
+        from tpu_bitsandbytes.models.gpt2 import GPT2Config
+        from tpu_bitsandbytes.utils import gpt2_params_from_state_dict
+        cfg = GPT2Config.tiny()
+        e = cfg.n_embd
+        sd = {}
+        sd["transformer.wte.weight"] = rng.standard_normal(
+            (cfg.vocab_size, e)).astype(np.float32) * 0.02
+        sd["transformer.wpe.weight"] = rng.standard_normal(
+            (cfg.n_positions, e)).astype(np.float32) * 0.02
+        for li in range(cfg.n_layer):
+            p = f"transformer.h.{li}."
+            sd[p + "ln_1.weight"] = np.ones(e, np.float32)
+            sd[p + "ln_1.bias"] = np.zeros(e, np.float32)
+            sd[p + "ln_2.weight"] = np.ones(e, np.float32)
+            sd[p + "ln_2.bias"] = np.zeros(e, np.float32)
+            # HF Conv1D: [in, out]
+            sd[p + "attn.c_attn.weight"] = rng.standard_normal(
+                (e, 3 * e)).astype(np.float32) * 0.02
+            sd[p + "attn.c_attn.bias"] = np.zeros(3 * e, np.float32)
+            sd[p + "attn.c_proj.weight"] = rng.standard_normal(
+                (e, e)).astype(np.float32) * 0.02
+            sd[p + "attn.c_proj.bias"] = np.zeros(e, np.float32)
+            sd[p + "mlp.c_fc.weight"] = rng.standard_normal(
+                (e, 4 * e)).astype(np.float32) * 0.02
+            sd[p + "mlp.c_fc.bias"] = np.zeros(4 * e, np.float32)
+            sd[p + "mlp.c_proj.weight"] = rng.standard_normal(
+                (4 * e, e)).astype(np.float32) * 0.02
+            sd[p + "mlp.c_proj.bias"] = np.zeros(e, np.float32)
+        sd["transformer.ln_f.weight"] = np.ones(e, np.float32)
+        sd["transformer.ln_f.bias"] = np.zeros(e, np.float32)
+        model = gpt2_params_from_state_dict(sd, cfg, dtype=jnp.float32)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)))
+        out = model(ids)
+        assert out.shape == (1, 8, cfg.vocab_size)
+        assert np.all(np.isfinite(np.asarray(out, np.float32)))
+        # tied head: lm_head falls back to wte
+        assert np.array_equal(np.asarray(model.lm_head.weight),
+                              np.asarray(model.wte.weight))
+
+
+class TestPodMesh:
+    def test_make_pod_mesh_shapes(self):
+        from tpu_bitsandbytes.parallel import make_pod_mesh
+        import jax
+        n = len(jax.devices())
+        mesh = make_pod_mesh(tp=n, dp=1)
+        assert mesh.shape == {"dp": 1, "tp": n}
+        if n % 2 == 0:
+            mesh = make_pod_mesh(tp=n // 2, dp=2)
+            assert mesh.shape == {"dp": 2, "tp": n // 2}

@@ -6,9 +6,11 @@ from .sharding import (
 )
 from .tp import make_tp_decode_step
 from .train import make_qlora_train_step
+from .distributed import initialize, make_pod_mesh
 
 __all__ = [
     "make_mesh", "replicated", "shard",
     "llama_param_specs", "shard_params", "kv_cache_spec", "spec_tree",
     "make_tp_decode_step", "make_qlora_train_step",
+    "initialize", "make_pod_mesh",
 ]

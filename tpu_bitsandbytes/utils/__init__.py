@@ -7,7 +7,7 @@ from .metrics import (
 )
 from .hf import (
     llama_config_from_hf, llama_params_from_state_dict,
-    load_llama_from_pretrained,
+    gpt2_params_from_state_dict, load_llama_from_pretrained,
 )
 
 __all__ = [
@@ -15,5 +15,6 @@ __all__ = [
     "CHIP_SPECS", "detect_chip", "matmul4bit_bytes",
     "matmul4bit_roofline_us", "MetricsLogger", "Timer", "trace",
     "llama_config_from_hf", "llama_params_from_state_dict",
+    "gpt2_params_from_state_dict",
     "load_llama_from_pretrained",
 ]

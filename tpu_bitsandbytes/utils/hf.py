@@ -106,6 +106,59 @@ def llama_params_from_state_dict(state_dict: Dict[str, Any],
     return params
 
 
+def gpt2_params_from_state_dict(state_dict: Dict[str, Any], config,
+                                dtype=jnp.bfloat16):
+    """Load an HF GPT-2 state_dict into a GPT2LMHeadModel module tree.
+
+    HF GPT-2 stores Conv1D weights transposed ([in, out]); this transposes
+    them back into Linear convention ([out, in]).
+    """
+    import jax
+    from ..models.gpt2 import GPT2LMHeadModel
+
+    def grab(name):
+        for prefix in ("transformer.", ""):
+            key = prefix + name
+            if key in state_dict:
+                return _np(state_dict[key])
+        raise KeyError(name)
+
+    model = GPT2LMHeadModel(config, jax.random.PRNGKey(0))
+    model.wte.weight = jnp.asarray(grab("wte.weight")).astype(dtype)
+    model.wpe.weight = jnp.asarray(grab("wpe.weight")).astype(dtype)
+    for li, block in enumerate(model.h):
+        p = f"h.{li}."
+        block.ln_1.weight = jnp.asarray(grab(p + "ln_1.weight")).astype(dtype)
+        block.ln_1.bias = jnp.asarray(grab(p + "ln_1.bias")).astype(dtype)
+        block.ln_2.weight = jnp.asarray(grab(p + "ln_2.weight")).astype(dtype)
+        block.ln_2.bias = jnp.asarray(grab(p + "ln_2.bias")).astype(dtype)
+        block.attn.c_attn.weight = jnp.asarray(
+            grab(p + "attn.c_attn.weight")).T.astype(dtype)
+        block.attn.c_attn.bias = jnp.asarray(
+            grab(p + "attn.c_attn.bias")).astype(dtype)
+        block.attn.c_proj.weight = jnp.asarray(
+            grab(p + "attn.c_proj.weight")).T.astype(dtype)
+        block.attn.c_proj.bias = jnp.asarray(
+            grab(p + "attn.c_proj.bias")).astype(dtype)
+        block.mlp.c_fc.weight = jnp.asarray(
+            grab(p + "mlp.c_fc.weight")).T.astype(dtype)
+        block.mlp.c_fc.bias = jnp.asarray(
+            grab(p + "mlp.c_fc.bias")).astype(dtype)
+        block.mlp.c_proj.weight = jnp.asarray(
+            grab(p + "mlp.c_proj.weight")).T.astype(dtype)
+        block.mlp.c_proj.bias = jnp.asarray(
+            grab(p + "mlp.c_proj.bias")).astype(dtype)
+    model.ln_f.weight = jnp.asarray(grab("ln_f.weight")).astype(dtype)
+    model.ln_f.bias = jnp.asarray(grab("ln_f.bias")).astype(dtype)
+    # GPT-2 ties lm_head to wte
+    if "lm_head.weight" in state_dict:
+        model.lm_head.weight = jnp.asarray(
+            _np(state_dict["lm_head.weight"])).astype(dtype)
+    else:
+        model.lm_head.weight = model.wte.weight
+    return model
+
+
 def load_llama_from_pretrained(path_or_model, dtype=jnp.bfloat16,
                                quantize: bool = True, blocksize: int = 64,
                                quant_type: str = "nf4",
