@@ -82,11 +82,11 @@ def bytes_per_token(config, cache, blocksize=64, batch=1):
     lin = (n_q * h + 2 * n_kv * h + h * n_q + 3 * h * config.intermediate_size)
     lin_total = config.num_layers * lin + config.vocab_size * h  # + lm_head
     w_bytes = lin_total * 0.5 + lin_total / blocksize * 4.0  # packed + absmax
-    embed_bytes = config.vocab_size * h * 2 / batch  # lm_head input embed read
+    embed_bytes = h * 2  # per-token embedding row gather
     kv_bytes = cache.bytes_per_token()  # write; reads grow with context
     ctx = int(np.mean(np.asarray(cache.lengths)))
     kv_read = cache.bytes_per_token() * ctx / max(cache.max_seq, 1)
-    return w_bytes / batch + kv_bytes + kv_read + embed_bytes / batch
+    return w_bytes / batch + kv_bytes + kv_read + embed_bytes
 
 
 def main():

@@ -172,3 +172,33 @@ class TestSampler:
         for i in range(10):
             t = sample(logits, jax.random.PRNGKey(i), sp)
             assert int(t[0]) == 0
+
+
+class TestEngineLimits:
+    def test_long_prompt_truncated(self, tiny_model, rng):
+        cfg, params = tiny_model
+        engine = DecodeEngine(params, cfg, max_batch=1, max_seq=32,
+                              quantized_kv=False)
+        prompt = list(rng.integers(0, cfg.vocab_size, 100))  # > max_seq
+        outs = engine.generate([prompt], SamplingParams(max_new_tokens=4))
+        assert 1 <= len(outs[0]) <= 4
+
+    def test_generation_stops_at_max_seq(self, tiny_model, rng):
+        cfg, params = tiny_model
+        engine = DecodeEngine(params, cfg, max_batch=1, max_seq=24,
+                              quantized_kv=False)
+        prompt = list(rng.integers(0, cfg.vocab_size, 16))
+        outs = engine.generate([prompt],
+                               SamplingParams(max_new_tokens=1000))
+        # 16 prompt + generated must stay under max_seq
+        assert len(prompt) + len(outs[0]) <= 24
+
+    def test_stats_include_metrics(self, tiny_model, rng):
+        cfg, params = tiny_model
+        engine = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                              quantized_kv=False)
+        engine.generate([list(rng.integers(0, cfg.vocab_size, 4))],
+                        SamplingParams(max_new_tokens=3))
+        s = engine.stats
+        assert s["finished"] == 1
+        assert s.get("tokens", 0) >= 2

@@ -143,6 +143,8 @@ class DecodeEngine:
         self.waiting: List[Request] = []
         self.active: Dict[int, Request] = {}   # slot -> request
         self.finished: List[Request] = []
+        from ..utils.metrics import MetricsLogger
+        self.metrics = MetricsLogger()
 
     # -- request management ---------------------------------------------
     def add_request(self, prompt_tokens, sampling: Optional[SamplingParams] = None
@@ -162,6 +164,9 @@ class DecodeEngine:
             slot = free.pop(0)
             req = self.waiting.pop(0)
             req.slot = slot
+            if len(req.prompt) >= self.max_seq:
+                # keep the most recent context that still leaves room to decode
+                req.prompt = req.prompt[-(self.max_seq - 1):]
             s = len(req.prompt)
             s_pad = _bucket(s, self.max_seq)
             toks = np.zeros((1, s_pad), np.int32)
@@ -177,8 +182,10 @@ class DecodeEngine:
     def _collect(self, slot: int, req: Request, token: int):
         req.generated.append(token)
         sp = req.params
+        out_of_room = (len(req.prompt) + len(req.generated)
+                       >= self.max_seq - 1)
         if ((sp.eos_token_id is not None and token == sp.eos_token_id)
-                or len(req.generated) >= sp.max_new_tokens):
+                or len(req.generated) >= sp.max_new_tokens or out_of_room):
             req.done = True
             self.finished.append(req)
             del self.active[slot]
@@ -210,6 +217,8 @@ class DecodeEngine:
         if not active_mask.any():
             return bool(self.waiting or self.active)
 
+        import time as _time
+        t0 = _time.perf_counter()
         logits, self.cache = decode_step(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(active_mask), self.config)
@@ -229,6 +238,8 @@ class DecodeEngine:
         for slot in list(self.active.keys()):
             if active_mask[slot]:
                 self._collect(slot, self.active.get(slot), int(toks[slot]))
+        self.metrics.record(int(active_mask.sum()),
+                            _time.perf_counter() - t0)
         return bool(self.waiting or self.active)
 
     # -- convenience ------------------------------------------------------
@@ -248,4 +259,5 @@ class DecodeEngine:
             "waiting": len(self.waiting),
             "finished": len(self.finished),
             "kv_bytes_per_token": self.cache.bytes_per_token(),
+            **self.metrics.summary(),
         }

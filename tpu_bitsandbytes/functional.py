@@ -392,7 +392,8 @@ def quantize_4bit(
 
     if absmax is not None:
         # Respect caller-provided statistics (rare; keeps bnb API parity).
-        packed, state = _quantize_4bit_with_absmax(A, absmax, blocksize, quant_type)
+        packed, absmax = _quantize_4bit_with_absmax(A, absmax, blocksize,
+                                                    quant_type)
     elif A.ndim == 2:
         packed, absmax = _quantize_4bit_2d(A, blocksize, quant_type)
     else:
@@ -902,6 +903,10 @@ def quantize_sparse_coo(row_indices, col_indices, values):
 # 4-bit matmul — dispatches to the fused Pallas kernel (L1 equivalent)
 # =============================================================================
 
+# Measured crossover (KERNEL_NOTES.md): at MXU-efficient M the XLA
+# dequantize+GEMM fusion overtakes the Pallas kernel.
+_FUSED_M_CROSSOVER = 256
+
 
 def matmul_4bit(
     A: jnp.ndarray,
@@ -913,11 +918,16 @@ def matmul_4bit(
     """Matmul with packed 4-bit weights (reference: functional.py:680-773).
 
     ``A @ dequant(B).T`` where B is the packed flat uint8 from
-    :func:`quantize_4bit` of a 2D weight [N, K]. Uses the fused Pallas
-    dequant-matmul on TPU for **all** M (the reference's M>512 crossover to a
-    vendor GEMM, functional.py:714-717, is deliberately eliminated — the
-    Pallas kernel stays HBM-bound at every M); falls back to
-    dequantize+einsum elsewhere.
+    :func:`quantize_4bit` of a 2D weight [N, K]. Dispatch on TPU:
+
+    * M ≤ 256 (decode / small batch): the fused Pallas dequant-matmul —
+      packed nibbles stream HBM→VMEM, never materializing fp weights;
+    * larger M (prefill): XLA's fused dequantize+GEMM, which measures
+      faster at MXU-efficient M (KERNEL_NOTES.md). Unlike the reference's
+      M>512 crossover (functional.py:714-717) this is a measured perf
+      choice — the Pallas kernel is capable at every M.
+
+    Off-TPU the unfused path runs with a warn-once notice.
     """
     A = jnp.asarray(A)
     if compute_dtype is None:
@@ -927,7 +937,9 @@ def matmul_4bit(
     A2 = A.reshape(-1, A.shape[-1]) if A.ndim > 2 else A
 
     out = None
-    if len(quant_state.shape) == 2 and has_fused_kernels():
+    use_fused = (len(quant_state.shape) == 2 and has_fused_kernels()
+                 and A2.shape[0] <= _FUSED_M_CROSSOVER)
+    if use_fused:
         from .ops.matmul4bit import fused_matmul_4bit  # lazy: avoids cycle
         try:
             out = fused_matmul_4bit(A2, B, quant_state)
