@@ -856,3 +856,73 @@ def run_L(m, m_t, n_t, k2_t, iters=10):
         print(f"{tag}: WRONG reldiff={rel}")
         return
     timed(tag + f" rel={rel:.4f}", ff, (xe, xo, pT, amT), WORK, iters)
+
+
+# --- Variant M: VPU matvec + cubic-polynomial decode ("af4" prototype) ------
+# Measures the speed of an analytic codebook: v(c) = ((a c + b) c + d) c + e.
+# Uses arbitrary coefficients (speed test only; af4 would fit them to N(0,1)).
+def kernel_M(xer_ref, xor_ref, w_ref, am_ref, out_ref, acc_ref, *, n_k):
+    ik = pl.program_id(0)
+    in_ = pl.program_id(1)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[0:1, pl.ds(in_ * 128, 128)] = jnp.zeros((1, 128), jnp.float32)
+
+    w32 = w_ref[:].astype(jnp.int32)
+    lo = (w32 & 0x0F).astype(jnp.float32)
+    hi = (w32 >> 4).astype(jnp.float32)
+    A_, B_, D_, E_ = 0.00317, -0.0431, 0.334, -1.02  # speed-test coefficients
+
+    def poly(c):
+        return ((A_ * c + B_) * c + D_) * c + E_
+
+    vlo = poly(lo)
+    vhi = poly(hi)
+    k2_t = w32.shape[0]
+    am_t = k2_t // BS2
+    contrib = vlo * xer_ref[:] + vhi * xor_ref[:]
+    per_block = jnp.sum(contrib.reshape(am_t, BS2, 128), axis=1)
+    y = jnp.sum(per_block * am_ref[:], axis=0, keepdims=True)
+    acc_ref[0:1, pl.ds(in_ * 128, 128)] += y
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[0:1, pl.ds(in_ * 128, 128)]
+
+
+def run_M(k2_t=2048, iters=10):
+    m = 1
+    p2d, am, x, Wd = make_data(m)
+    k2 = K // 2
+    pT = jnp.asarray(np.ascontiguousarray(p2d.T))
+    amT = jnp.asarray(np.ascontiguousarray(am.T))
+    xer = jnp.asarray(np.repeat(x[0, 0::2][:, None], 128, axis=1))
+    xor = jnp.asarray(np.repeat(x[0, 1::2][:, None], 128, axis=1))
+    gk, gn = k2 // k2_t, N // 128
+    am_t = k2_t // BS2
+    kern = functools.partial(kernel_M, n_k=gk)
+    call = pl.pallas_call(
+        kern,
+        grid=(gk, gn),
+        in_specs=[
+            pl.BlockSpec((k2_t, 128), lambda ik, in_: (ik, 0)),
+            pl.BlockSpec((k2_t, 128), lambda ik, in_: (ik, 0)),
+            pl.BlockSpec((k2_t, 128), lambda ik, in_: (ik, in_)),
+            pl.BlockSpec((am_t, 128), lambda ik, in_: (ik, in_)),
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda ik, in_: (0, in_)),
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, N), jnp.float32)],
+    )
+    body = lambda a, b, c, d: call(a, b, c, d)
+
+    def f(a, b, c, d):
+        y = None
+        for _ in range(REPS):
+            y = body(a, b, c, d)
+            a = a + jnp.broadcast_to(y[0:1, 0:1], a.shape) * 1e-30
+        return y
+    ff = jax.jit(f)
+    y = ff(xer, xor, pT, amT); jax.block_until_ready(y)
+    timed(f"M(poly-af4) k2_t={k2_t}", ff, (xer, xor, pT, amT), WORK, iters)

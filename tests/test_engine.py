@@ -202,3 +202,9 @@ class TestEngineLimits:
         s = engine.stats
         assert s["finished"] == 1
         assert s.get("tokens", 0) >= 2
+
+    def test_warmup_compiles(self, tiny_model):
+        cfg, params = tiny_model
+        engine = DecodeEngine(params, cfg, max_batch=2, max_seq=32,
+                              quantized_kv=False)
+        engine.warmup([5, 20])  # must not raise; precompiles buckets + decode

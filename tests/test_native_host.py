@@ -45,3 +45,21 @@ class TestHostPacker:
         # the .so is built in-repo; if missing this still passes via fallback
         # but we record availability for debugging
         print("native host lib:", native.has_native_host())
+
+
+class TestNativeFallback:
+    def test_numpy_fallback_matches(self, rng, monkeypatch):
+        """With the .so unavailable the numpy fallback must give identical
+        results (it is the same math)."""
+        from tpu_bitsandbytes.utils import native
+        W = rng.standard_normal((16, 128)).astype(np.float32)
+        p_native, a_native = native.quantize_4bit_host(W)
+        monkeypatch.setattr(native, "_LIB", None)
+        monkeypatch.setattr(native, "_LIB_TRIED", True)
+        p_fb, a_fb = native.quantize_4bit_host(W)
+        assert np.array_equal(p_native, p_fb)
+        assert np.allclose(a_native, a_fb, rtol=1e-6)
+        d_fb = native.dequantize_4bit_host(p_fb, a_fb, 16, 128)
+        assert np.all(np.isfinite(d_fb))
+        q_fb, s_fb = native.quantize_rowwise_host(W)
+        assert q_fb.dtype == np.int8

@@ -242,6 +242,32 @@ class DecodeEngine:
                             _time.perf_counter() - t0)
         return bool(self.waiting or self.active)
 
+    def warmup(self, prompt_lengths: Optional[List[int]] = None) -> None:
+        """Pre-compile the decode step and prefill buckets (serving helper).
+
+        Avoids first-request compile latency: compiles the batched decode
+        step and the prefill computation for each bucket that the given
+        prompt lengths (default: all power-of-two buckets up to max_seq)
+        would hit.
+        """
+        import numpy as np
+        buckets = sorted({_bucket(s, self.max_seq)
+                          for s in (prompt_lengths
+                                    or [16, self.max_seq - 1])})
+        scratch = KVCache.create(
+            self.config.num_layers, self.max_batch, self.max_seq,
+            self.config.num_kv_heads, self.config.hd,
+            quantized=self.cache.quantized, dtype=self.cache.dtype)
+        for b in buckets:
+            toks = jnp.zeros((1, b), jnp.int32)
+            _, scratch = prefill_step(self.params, scratch, toks,
+                                      jnp.int32(0), jnp.int32(min(b, 1)),
+                                      self.config)
+        logits, _ = decode_step(
+            self.params, scratch, jnp.zeros((self.max_batch,), jnp.int32),
+            jnp.ones((self.max_batch,), bool), self.config)
+        jax.block_until_ready(logits)
+
     # -- convenience ------------------------------------------------------
     def generate(self, prompts: List[List[int]],
                  sampling: Optional[SamplingParams] = None

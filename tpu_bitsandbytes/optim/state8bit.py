@@ -55,10 +55,28 @@ def dequantize_state(state_int8: jnp.ndarray, absmax: jnp.ndarray,
     return deq.reshape(-1)[: state_int8.size].reshape(orig_shape).astype(dtype)
 
 
-@partial(jax.jit, static_argnames=("block_size",))
-def quantize_state_unsigned(state: jnp.ndarray, block_size: int = 256
+def quantize_state_unsigned(state: jnp.ndarray, block_size: int = 256,
+                            warn_on_negative: bool = False
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Unsigned uint8 + sqrt compression for non-negative states (:60-117)."""
+    """Unsigned uint8 + sqrt compression for non-negative states (:60-117).
+
+    ``warn_on_negative`` mirrors the reference diagnostic (:77-88): negative
+    inputs are clamped to 0 either way.
+    """
+    if warn_on_negative:
+        import warnings
+        neg = int(jnp.sum(jnp.asarray(state) < 0))
+        if neg > 0:
+            warnings.warn(
+                f"quantize_state_unsigned: {neg} negative values clamped to "
+                f"0. This may indicate an issue with the optimizer state.",
+                UserWarning, stacklevel=2)
+    return _quantize_state_unsigned_jit(state, block_size)
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def _quantize_state_unsigned_jit(state: jnp.ndarray, block_size: int = 256
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     orig_shape = state.shape
     flat = jnp.clip(state.reshape(-1).astype(jnp.float32), min=0)
     blocks = _pad_blocks(flat, block_size)
