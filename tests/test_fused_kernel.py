@@ -7,6 +7,7 @@ on CPU, compiled on TPU) must agree within tight tolerance in exact (f32)
 mode and loose tolerance in bf16 mode.
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -93,3 +94,32 @@ def test_matmul_4bit_dispatch_fallback_matches(rng):
     packed, state = F.quantize_4bit(jnp.asarray(W))
     y = np.asarray(F.matmul_4bit(jnp.asarray(x), packed, state), np.float32)
     assert np.abs(y - _ref(x, packed, state)).max() < 1e-2
+
+
+def test_fused_path_is_differentiable(rng):
+    """QLoRA differentiates through frozen quantized linears; the fused
+    kernel's custom VJP must route dx through the dequantized weight."""
+    W = rng.standard_normal((32, 128)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+    packed, state = F.quantize_4bit(jnp.asarray(W))
+
+    def loss_fused(xx):
+        return jnp.sum(fused_matmul_4bit(xx, packed, state) ** 2)
+
+    def loss_ref(xx):
+        Wd = F.dequantize_4bit(packed, state).astype(jnp.float32)
+        return jnp.sum((xx @ Wd.T) ** 2)
+
+    g_fused = np.asarray(jax.grad(loss_fused)(x))
+    g_ref = np.asarray(jax.grad(loss_ref)(x))
+    assert np.allclose(g_fused, g_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_matmul_4bit_1d_input(rng):
+    W = rng.standard_normal((32, 64)).astype(np.float32)
+    packed, state = F.quantize_4bit(jnp.asarray(W))
+    x = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    y = F.matmul_4bit(x, packed, state)
+    assert y.shape == (32,)
+    assert np.allclose(np.asarray(y), _ref(np.asarray(x)[None], packed, state)[0],
+                       atol=1e-2)

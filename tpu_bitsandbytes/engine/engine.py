@@ -23,8 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import llama
-from ..models.layers import linear_apply, rms_norm, apply_rope, gqa_attention, \
-    rope_table
+from ..models.layers import linear_apply, rms_norm
 from .kvcache import KVCache
 from .sampler import SamplingParams, sample
 
@@ -41,32 +40,13 @@ def decode_step(params, cache: KVCache, tokens: jnp.ndarray, active: jnp.ndarray
 
     Returns (logits [B, V], new cache with lengths advanced for active slots).
     """
-    b = tokens.shape[0]
     positions = cache.lengths  # write position for this step
-    cos_full, sin_full = rope_table(config.hd, config.max_seq_len,
-                                    config.rope_theta)
-    cos = jnp.take(cos_full, positions, axis=0)[:, None]  # [B,1,D/2]
-    sin = jnp.take(sin_full, positions, axis=0)[:, None]
-
-    x = jnp.take(params["embed"], tokens, axis=0
-                 ).astype(config.dtype)[:, None, :]  # [B,1,H]
-    hd = config.hd
+    x, cos, sin = llama.decode_embed_and_rope(params, tokens, positions,
+                                              config)
     for li, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["input_norm"], config.rms_eps)
-        q = linear_apply(layer["q_proj"], h).reshape(b, 1, config.num_heads, hd)
-        k = linear_apply(layer["k_proj"], h).reshape(b, 1, config.num_kv_heads, hd)
-        v = linear_apply(layer["v_proj"], h).reshape(b, 1, config.num_kv_heads, hd)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        cache = cache.write_decode(li, k, v, positions)
-        k_all, v_all = cache.read(li)
-        attn = gqa_attention(q, k_all, v_all,
-                             causal_offset=positions[:, None])
-        x = x + linear_apply(layer["o_proj"], attn.reshape(b, 1, -1))
-        h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)
-        gate = linear_apply(layer["gate_proj"], h)
-        up = linear_apply(layer["up_proj"], h)
-        x = x + linear_apply(layer["down_proj"], jax.nn.silu(gate) * up)
+        x, cache = llama.decode_layer(
+            layer, x, cos, sin, positions, cache, li, config,
+            n_heads=config.num_heads, n_kv=config.num_kv_heads)
 
     x = rms_norm(x, params["final_norm"], config.rms_eps)
     head = params.get("lm_head", None)

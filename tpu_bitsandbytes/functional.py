@@ -934,7 +934,12 @@ def matmul_4bit(
         compute_dtype = A.dtype
 
     orig_shape = A.shape
-    A2 = A.reshape(-1, A.shape[-1]) if A.ndim > 2 else A
+    if A.ndim == 1:
+        A2 = A.reshape(1, -1)
+    elif A.ndim > 2:
+        A2 = A.reshape(-1, A.shape[-1])
+    else:
+        A2 = A
 
     out = None
     use_fused = (len(quant_state.shape) == 2 and has_fused_kernels()

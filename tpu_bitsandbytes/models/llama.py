@@ -206,6 +206,51 @@ def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
     return logits
 
 
+def decode_layer(layer, x, cos, sin, positions, cache, li,
+                 config: LlamaConfig, *, n_heads: int, n_kv: int,
+                 wrap=lambda w, row=False: w,
+                 reduce_fn=lambda t, w: t):
+    """One transformer layer of the cached decode step (single token).
+
+    Shared by the single-device decode step (engine/engine.py) and the
+    tensor-parallel decode step (parallel/tp.py). ``wrap`` adapts weight
+    leaves (e.g. localizes TP shards and strips row-parallel biases);
+    ``reduce_fn(partial, weight)`` reduces row-parallel partials (psum) and
+    re-applies their bias once. Returns (x, cache).
+    """
+    b = x.shape[0]
+    hd = config.hd
+    h = rms_norm(x, layer["input_norm"], config.rms_eps)
+    q = linear_apply(wrap(layer["q_proj"]), h).reshape(b, 1, n_heads, hd)
+    k = linear_apply(wrap(layer["k_proj"]), h).reshape(b, 1, n_kv, hd)
+    v = linear_apply(wrap(layer["v_proj"]), h).reshape(b, 1, n_kv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    cache = cache.write_decode(li, k, v, positions)
+    k_all, v_all = cache.read(li)
+    attn = gqa_attention(q, k_all, v_all, causal_offset=positions[:, None])
+    o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, 1, -1))
+    x = x + reduce_fn(o, layer["o_proj"])
+    h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)
+    gate = linear_apply(wrap(layer["gate_proj"]), h)
+    up = linear_apply(wrap(layer["up_proj"]), h)
+    d = linear_apply(wrap(layer["down_proj"], row=True),
+                     jax.nn.silu(gate) * up)
+    x = x + reduce_fn(d, layer["down_proj"])
+    return x, cache
+
+
+def decode_embed_and_rope(params, tokens, positions, config: LlamaConfig):
+    """Shared decode-step prologue: embedding gather + per-position rope."""
+    cos_full, sin_full = rope_table(config.hd, config.max_seq_len,
+                                    config.rope_theta)
+    cos = jnp.take(cos_full, positions, axis=0)[:, None]
+    sin = jnp.take(sin_full, positions, axis=0)[:, None]
+    x = jnp.take(params["embed"], tokens, axis=0
+                 ).astype(config.dtype)[:, None, :]
+    return x, cos, sin
+
+
 def count_params(config: LlamaConfig) -> int:
     h, i, v = config.hidden_size, config.intermediate_size, config.vocab_size
     hd = config.hd

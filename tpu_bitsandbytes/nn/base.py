@@ -23,7 +23,7 @@ import numpy as np
 
 from ..functional import QuantState
 
-_STATIC_TYPES = (int, float, bool, str, bytes, type(None), tuple, type)
+_STATIC_TYPES = (int, float, bool, str, bytes, type(None), type)
 
 
 def _is_dynamic(v: Any) -> bool:
@@ -31,6 +31,10 @@ def _is_dynamic(v: Any) -> bool:
         return True
     if isinstance(v, (list, dict)):
         return True  # containers may hold arrays; treat as subtree
+    if isinstance(v, tuple):
+        # config tuples (shapes, dims) stay static; tuples holding arrays /
+        # modules / containers are real subtrees
+        return any(_is_dynamic(x) for x in v)
     return False  # dtypes, np.dtype instances, and other config are static
 
 

@@ -40,13 +40,17 @@ class Embedding4bit(Module):
 
     def __init__(self, num_embeddings: int, embedding_dim: int,
                  padding_idx: Optional[int] = None, quant_type: str = "nf4",
-                 blocksize: int = 64, device=None, dtype=jnp.bfloat16):
+                 blocksize: int = 64, device=None, dtype=jnp.bfloat16,
+                 logical_dim: Optional[int] = None):
         if quant_type not in ("nf4", "fp4"):
             raise ValueError(f"quant_type must be 'nf4' or 'fp4', got {quant_type}")
         if embedding_dim % 2 != 0:
             raise ValueError(f"embedding_dim must be even, got {embedding_dim}")
         self.num_embeddings = int(num_embeddings)
-        self.embedding_dim = int(embedding_dim)
+        self.embedding_dim = int(embedding_dim)    # storage dim (even)
+        # output width: odd source dims are stored padded but sliced back on
+        # lookup so conversion never changes the layer's output shape
+        self.logical_dim = int(logical_dim or embedding_dim)
         self.padding_idx = padding_idx
         self.quant_type = quant_type
         self.blocksize = int(blocksize)
@@ -74,8 +78,8 @@ class Embedding4bit(Module):
         nb = absmax.shape[1]
         vals = (vals.reshape(-1, nb, self.blocksize)
                 * absmax[:, :, None]).reshape(-1, self._d_padded)
-        out = vals[:, : self.embedding_dim].astype(self.dtype)
-        out = out.reshape(*ids.shape, self.embedding_dim)
+        out = vals[:, : self.logical_dim].astype(self.dtype)
+        out = out.reshape(*ids.shape, self.logical_dim)
         if self.padding_idx is not None:
             out = jnp.where((ids == self.padding_idx)[..., None],
                             jnp.zeros((), out.dtype), out)
@@ -87,13 +91,14 @@ class Embedding4bit(Module):
         weight = to_jnp(embedding.weight)
         dtype = weight.dtype if weight.dtype in (jnp.float16, jnp.bfloat16) \
             else jnp.bfloat16
-        embedding_dim = weight.shape[1]
+        logical_dim = embedding_dim = weight.shape[1]
         if embedding_dim % 2 != 0:
             weight = jnp.pad(weight, ((0, 0), (0, 1)))
             embedding_dim += 1
         layer = cls(weight.shape[0], embedding_dim,
                     padding_idx=getattr(embedding, "padding_idx", None),
-                    quant_type=quant_type, blocksize=blocksize, dtype=dtype)
+                    quant_type=quant_type, blocksize=blocksize, dtype=dtype,
+                    logical_dim=logical_dim)
         # One vectorized row-wise quantization pass over the whole table.
         packed, state = quantize_4bit(weight, blocksize=blocksize,
                                       quant_type=quant_type)

@@ -36,7 +36,10 @@ class Linear8bit(Module):
             return self._weight_cache
         weight = dequantize_rowwise(self.weight_int8, self.weight_scales,
                                     dtype=self.compute_dtype)
-        if self.use_cache:
+        # Never cache a tracer: under jit the module is a captured pytree and
+        # storing the traced weight would leak it into later eager calls.
+        import jax.core
+        if self.use_cache and not isinstance(weight, jax.core.Tracer):
             self._weight_cache = weight
         return weight
 

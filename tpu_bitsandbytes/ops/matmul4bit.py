@@ -114,15 +114,67 @@ def _matmul4bit_kernel(xe_ref, xo_ref, w_ref, amT_ref, out_ref, acc_ref, *,
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _dequant_planes(packed2d, absmaxT, blocksize, quant_type):
+    """Dequantized even/odd-K weight planes [N, K2] for the backward pass."""
+    table = NF4_CODEBOOK_NP if quant_type == "nf4" else FP4_CODEBOOK_NP
+    cb = jnp.asarray(table, jnp.float32)
+    lo = (packed2d & jnp.uint8(0x0F)).astype(jnp.int32)
+    hi = (packed2d >> 4).astype(jnp.int32)
+    bs2 = blocksize // 2
+    scale = jnp.repeat(absmaxT.T, bs2, axis=1)  # [N, K2] (XLA-level: fine)
+    vlo = jnp.take(cb, lo, axis=0) * scale
+    vhi = jnp.take(cb, hi, axis=0) * scale
+    return vlo, vhi
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_aligned(blocksize: int, quant_type: str, out_dtype_name: str,
+                        mxu_dtype_name: str, lut_mode: str, m_t: int,
+                        n_t: int, k2_t: int, exact: bool):
+    """custom_vjp-wrapped fused matmul for one static config.
+
+    pallas_call has no AD rule, but QLoRA training differentiates through
+    frozen quantized linears — the backward pass computes d_x against the
+    XLA-dequantized weight planes (weights are frozen integer state and get
+    zero cotangents). Static config is closed over (custom_vjp over plain
+    array args only).
+    """
+    kwargs = dict(blocksize=blocksize, quant_type=quant_type,
+                  out_dtype=jnp.dtype(out_dtype_name),
+                  mxu_dtype=jnp.dtype(mxu_dtype_name), lut_mode=lut_mode,
+                  m_t=m_t, n_t=n_t, k2_t=k2_t, exact=exact)
+
+    @jax.custom_vjp
+    def f(xe, xo, packed2d, absmaxT):
+        return _fused_matmul_4bit_fwd_impl(xe, xo, packed2d, absmaxT, **kwargs)
+
+    x_dtype = jnp.dtype(mxu_dtype_name)  # the wrapper casts x to mxu dtype
+
+    def fwd(xe, xo, packed2d, absmaxT):
+        return f(xe, xo, packed2d, absmaxT), (packed2d, absmaxT)
+
+    def bwd(res, g):
+        packed2d, absmaxT = res
+        vlo, vhi = _dequant_planes(packed2d, absmaxT, blocksize, quant_type)
+        g32 = g.astype(jnp.float32)
+        d_xe = (g32 @ vlo).astype(x_dtype)
+        d_xo = (g32 @ vhi).astype(x_dtype)
+        # packed is integer (symbolic-zero cotangent); absmax is frozen state
+        return d_xe, d_xo, None, jnp.zeros_like(absmaxT)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("blocksize", "quant_type", "out_dtype", "mxu_dtype",
                      "lut_mode", "m_t", "n_t", "k2_t", "exact"),
 )
-def _fused_matmul_4bit_aligned(xe, xo, packed2d, absmaxT, *, blocksize: int,
-                               quant_type: str, out_dtype, mxu_dtype,
-                               lut_mode: str, m_t: int, n_t: int, k2_t: int,
-                               exact: bool):
+def _fused_matmul_4bit_fwd_impl(xe, xo, packed2d, absmaxT, *, blocksize: int,
+                                quant_type: str, out_dtype, mxu_dtype,
+                                lut_mode: str, m_t: int, n_t: int, k2_t: int,
+                                exact: bool):
     m, k2 = xe.shape
     n = packed2d.shape[0]
     bs2 = blocksize // 2
@@ -249,10 +301,8 @@ def fused_matmul_4bit(
         xe = jnp.pad(xe, ((0, m_pad - m), (0, 0)))
         xo = jnp.pad(xo, ((0, m_pad - m), (0, 0)))
 
-    out = _fused_matmul_4bit_aligned(
-        xe, xo, packed2d, absmaxT,
-        blocksize=blocksize, quant_type=quant_state.quant_type,
-        out_dtype=jnp.dtype(quant_state.dtype), mxu_dtype=jnp.dtype(mxu_dtype),
-        lut_mode=lut_mode, m_t=m_t, n_t=n_t, k2_t=k2_t, exact=exact,
-    )
+    fn = _make_fused_aligned(
+        blocksize, quant_state.quant_type, jnp.dtype(quant_state.dtype).name,
+        jnp.dtype(mxu_dtype).name, lut_mode, m_t, n_t, k2_t, exact)
+    out = fn(xe, xo, packed2d, absmaxT)
     return out[:m, :n]

@@ -22,18 +22,26 @@ from jax import shard_map
 
 from ..engine.kvcache import KVCache
 from ..models import llama
-from ..models.layers import (
-    QLinear4, apply_rope, gqa_attention, linear_apply, rms_norm, rope_table,
-)
+from ..models.layers import QLinear4, linear_apply, rms_norm
 from .sharding import kv_cache_spec, llama_param_specs, spec_tree
 
 
-def _localize(w):
-    """Fix static shape metadata of a QLinear4 shard to its local arrays."""
+def _localize(w, strip_bias: bool = False):
+    """Fix static shape metadata of a QLinear4 shard to its local arrays.
+
+    ``strip_bias``: row-parallel linears must not add their bias per shard —
+    the psum would multiply it by tp. The caller re-adds it once after the
+    reduction.
+    """
     if isinstance(w, QLinear4):
         n, k2 = w.packed.shape
-        return dataclasses.replace(w, shape=(n, 2 * k2))
+        return dataclasses.replace(w, shape=(n, 2 * k2),
+                                   bias=None if strip_bias else w.bias)
     return w
+
+
+def _row_bias(w):
+    return w.bias if isinstance(w, QLinear4) else None
 
 
 def _tp_decode_impl(params, cache: KVCache, tokens, active,
@@ -46,32 +54,23 @@ def _tp_decode_impl(params, cache: KVCache, tokens, active,
     n_kv = config.num_kv_heads // tp
 
     positions = cache.lengths
-    cos_full, sin_full = rope_table(hd, config.max_seq_len, config.rope_theta)
-    cos = jnp.take(cos_full, positions, axis=0)[:, None]
-    sin = jnp.take(sin_full, positions, axis=0)[:, None]
+    x, cos, sin = llama.decode_embed_and_rope(params, tokens, positions,
+                                              config)
 
-    x = jnp.take(params["embed"], tokens, axis=0
-                 ).astype(config.dtype)[:, None, :]
+    def wrap(w, row=False):
+        # localize shard metadata; row-parallel biases are stripped here and
+        # re-added once after the psum (else they'd be summed tp times)
+        return _localize(w, strip_bias=row)
+
+    def reduce_fn(partial, w):
+        full = jax.lax.psum(partial, tp_axis)
+        bias = _row_bias(w)
+        return full if bias is None else full + bias.astype(full.dtype)
+
     for li, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["input_norm"], config.rms_eps)
-        q = linear_apply(_localize(layer["q_proj"]), h).reshape(b, 1, n_heads, hd)
-        k = linear_apply(_localize(layer["k_proj"]), h).reshape(b, 1, n_kv, hd)
-        v = linear_apply(_localize(layer["v_proj"]), h).reshape(b, 1, n_kv, hd)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        cache = cache.write_decode(li, k, v, positions)
-        k_all, v_all = cache.read(li)
-        attn = gqa_attention(q, k_all, v_all, causal_offset=positions[:, None])
-        # o_proj is row-parallel over the local heads: partial sums + psum.
-        o_part = linear_apply(_localize(layer["o_proj"]),
-                              attn.reshape(b, 1, -1))
-        x = x + jax.lax.psum(o_part, tp_axis)
-        h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)
-        gate = linear_apply(_localize(layer["gate_proj"]), h)
-        up = linear_apply(_localize(layer["up_proj"]), h)
-        d_part = linear_apply(_localize(layer["down_proj"]),
-                              jax.nn.silu(gate) * up)
-        x = x + jax.lax.psum(d_part, tp_axis)
+        x, cache = llama.decode_layer(
+            layer, x, cos, sin, positions, cache, li, config,
+            n_heads=n_heads, n_kv=n_kv, wrap=wrap, reduce_fn=reduce_fn)
 
     x = rms_norm(x, params["final_norm"], config.rms_eps)
     head = params.get("lm_head", None)

@@ -23,6 +23,20 @@ from ..functional import QuantState, quantize_4bit
 _SENTINEL_NONE = {"__type__": "none"}
 
 
+def _module_registry():
+    """Known Module classes by name, for checkpoint rehydration."""
+    from .. import nn
+    from ..models import gpt2
+    classes = [
+        nn.Linear, nn.Embedding, nn.Linear4bit, nn.Linear8bit, nn.LinearFP8,
+        nn.OutlierAwareLinear, nn.SwitchBackLinear,
+        nn.Embedding4bit, nn.Embedding8bit, nn.EmbeddingNF4, nn.EmbeddingFP4,
+        gpt2.GPT2LMHeadModel, gpt2.GPT2Block, gpt2.GPT2Attention,
+        gpt2.GPT2MLP, gpt2.LayerNorm,
+    ]
+    return {c.__name__: c for c in classes}
+
+
 def _encode(obj: Any, arrays: Dict[str, np.ndarray], path: str):
     from ..models.layers import QLinear4
     from ..models.lora import LoRALinear
@@ -126,7 +140,18 @@ def _decode(spec: Any, arrays) -> Any:
                           lora_B=_decode(spec["lora_B"], arrays),
                           scaling=spec["scaling"])
     if t == "Module":
-        return {k: _decode(v, arrays) for k, v in spec["fields"].items()}
+        fields = {k: _decode(v, arrays) for k, v in spec["fields"].items()}
+        cls = _module_registry().get(spec.get("class"))
+        if cls is None:
+            import warnings
+            warnings.warn(
+                f"checkpoint: unknown Module class '{spec.get('class')}' — "
+                f"restoring as a plain field dict", UserWarning)
+            return fields
+        obj = object.__new__(cls)
+        for k, v in fields.items():
+            object.__setattr__(obj, k, v)
+        return obj
     if t == "dict":
         return {k: _decode(v, arrays) for k, v in spec["items"].items()}
     if t == "list":

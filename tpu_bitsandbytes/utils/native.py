@@ -14,6 +14,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from ..functional import _pad_k  # single source of truth for the layout rule
+
 _LIB: Optional[ctypes.CDLL] = None
 _LIB_TRIED = False
 
@@ -46,13 +48,6 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def has_native_host() -> bool:
     return _load() is not None
-
-
-def _pad_k(k: int, blocksize: int) -> int:
-    kp = ((k + blocksize - 1) // blocksize) * blocksize
-    if kp % 2 != 0:
-        kp += blocksize
-    return kp
 
 
 def quantize_4bit_host(w: np.ndarray, blocksize: int = 64,
