@@ -127,3 +127,43 @@ class TestQLoRATrainStep:
         a0 = np.asarray(trainable["layers/0/q_proj"]["B"])
         a2 = np.asarray(t2["layers/0/q_proj"]["B"])
         assert not np.allclose(a0, a2)
+
+
+class TestMeshEngine:
+    def test_engine_with_mesh_matches_single_device(self, tp_model, rng):
+        """Multi-chip serving engine: mesh-mode generate must reproduce the
+        single-device engine's greedy tokens."""
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg, params = tp_model
+        prompts = [list(rng.integers(0, cfg.vocab_size, 5)) for _ in range(3)]
+        sp = SamplingParams(max_new_tokens=4)
+
+        single = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                              quantized_kv=False)
+        ref = single.generate(prompts, sp)
+
+        mesh = make_mesh(tp=4, dp=2)
+        multi = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                             quantized_kv=False, mesh=mesh)
+        out = multi.generate(prompts, sp)
+        assert out == ref
+
+    def test_engine_mesh_quantized(self, tp_model, rng):
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg, params = tp_model
+        qparams = llama.quantize_params(params, blocksize=32,
+                                        dtype=jnp.float32)
+        mesh = make_mesh(tp=4, dp=2)
+        eng = DecodeEngine(qparams, cfg, max_batch=2, max_seq=64,
+                           quantized_kv=True, mesh=mesh)
+        outs = eng.generate(
+            [list(rng.integers(0, cfg.vocab_size, 4)) for _ in range(3)],
+            SamplingParams(max_new_tokens=3))
+        assert all(len(o) == 3 for o in outs)
+
+    def test_engine_mesh_batch_divisibility(self, tp_model):
+        from tpu_bitsandbytes.engine import DecodeEngine
+        cfg, params = tp_model
+        mesh = make_mesh(tp=4, dp=2)
+        with pytest.raises(ValueError, match="must divide"):
+            DecodeEngine(params, cfg, max_batch=3, mesh=mesh)

@@ -2,7 +2,8 @@
 
 from .kvcache import KVCache
 from .sampler import SamplingParams, sample
-from .engine import DecodeEngine, decode_step, prefill_step, Request
+from .engine import DecodeEngine, decode_step, prefill_step, \
+    prefill_step_spmd, Request
 
 __all__ = ["KVCache", "SamplingParams", "sample", "DecodeEngine",
-           "decode_step", "prefill_step", "Request"]
+           "decode_step", "prefill_step", "prefill_step_spmd", "Request"]

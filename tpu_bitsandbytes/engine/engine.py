@@ -59,6 +59,18 @@ def decode_step(params, cache: KVCache, tokens: jnp.ndarray, active: jnp.ndarray
     return logits.astype(jnp.float32), cache
 
 
+def _prefill_impl(params, cache: KVCache, tokens, slot, true_len,
+                  config: llama.LlamaConfig):
+    logits, new_kv = llama.forward(params, tokens, config, return_kv=True)
+    for li, (k, v) in enumerate(new_kv):
+        cache = cache.write_prefill(li, slot, k[0], v[0], 0)
+    cache = dataclasses.replace(
+        cache, lengths=cache.lengths.at[slot].set(true_len))
+    last = jnp.take_along_axis(
+        logits[0], (true_len - 1)[None, None], axis=0)[0]
+    return last.astype(jnp.float32), cache
+
+
 @partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
 def prefill_step(params, cache: KVCache, tokens: jnp.ndarray, slot: jnp.ndarray,
                  true_len: jnp.ndarray, config: llama.LlamaConfig):
@@ -68,14 +80,19 @@ def prefill_step(params, cache: KVCache, tokens: jnp.ndarray, slot: jnp.ndarray,
     position p before attending past it, so the garbage is never read.
     Returns (last-token logits [V], cache with slot length = true_len).
     """
-    logits, new_kv = llama.forward(params, tokens, config, return_kv=True)
-    for li, (k, v) in enumerate(new_kv):
-        cache = cache.write_prefill(li, slot, k[0], v[0], 0)
-    cache = dataclasses.replace(
-        cache, lengths=cache.lengths.at[slot].set(true_len))
-    last = jnp.take_along_axis(
-        logits[0], (true_len - 1)[None, None], axis=0)[0]
-    return last.astype(jnp.float32), cache
+    return _prefill_impl(params, cache, tokens, slot, true_len, config)
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
+def prefill_step_spmd(params, cache: KVCache, tokens: jnp.ndarray,
+                      slot: jnp.ndarray, true_len: jnp.ndarray,
+                      config: llama.LlamaConfig):
+    """Prefill over GSPMD-sharded params/cache (mesh mode): the fused Pallas
+    path is disabled for this trace because custom calls cannot be
+    auto-partitioned — XLA's fused dequant+GEMM shards cleanly instead."""
+    from ..functional import disable_fused_kernels
+    with disable_fused_kernels():
+        return _prefill_impl(params, cache, tokens, slot, true_len, config)
 
 
 # ---------------------------------------------------------------------------
@@ -110,14 +127,37 @@ class DecodeEngine:
 
     def __init__(self, params, config: llama.LlamaConfig, *,
                  max_batch: int = 8, max_seq: Optional[int] = None,
-                 quantized_kv: bool = True, seed: int = 0):
-        self.params = params
+                 quantized_kv: bool = True, seed: int = 0, mesh=None):
+        """``mesh``: a (dp, tp) Mesh for multi-chip serving. Params are
+        tp/dp-sharded (column/row-parallel packed weights, head-sharded KV
+        cache); decode runs the shard_map TP step, prefill runs under GSPMD.
+        Requires max_batch % dp == 0 and head/ffn dims divisible by tp."""
         self.config = config
         self.max_batch = max_batch
         self.max_seq = max_seq or config.max_seq_len
-        self.cache = KVCache.create(
+        self.mesh = mesh
+        cache = KVCache.create(
             config.num_layers, max_batch, self.max_seq, config.num_kv_heads,
             config.hd, quantized=quantized_kv, dtype=config.dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel import (shard_params, kv_cache_spec,
+                                    make_tp_decode_step)
+            dp = mesh.shape["dp"]
+            if max_batch % dp != 0:
+                raise ValueError(f"max_batch {max_batch} must divide by "
+                                 f"dp={dp}")
+            self.params = shard_params(params, mesh)
+            cache = jax.device_put(
+                cache, jax.tree_util.tree_map(
+                    lambda s: NamedSharding(mesh, s), kv_cache_spec(cache),
+                    is_leaf=lambda x: isinstance(x, P)))
+            self._tp_decode = make_tp_decode_step(mesh, self.params, config,
+                                                  cache)
+        else:
+            self.params = params
+            self._tp_decode = None
+        self.cache = cache
         self.key = jax.random.PRNGKey(seed)
         self._uid = 0
         self.waiting: List[Request] = []
@@ -151,7 +191,8 @@ class DecodeEngine:
             s_pad = _bucket(s, self.max_seq)
             toks = np.zeros((1, s_pad), np.int32)
             toks[0, :s] = req.prompt
-            last_logits, self.cache = prefill_step(
+            prefill = prefill_step if self.mesh is None else prefill_step_spmd
+            last_logits, self.cache = prefill(
                 self.params, self.cache, jnp.asarray(toks),
                 jnp.int32(slot), jnp.int32(s), self.config)
             self.key, sub = jax.random.split(self.key)
@@ -199,9 +240,14 @@ class DecodeEngine:
 
         import time as _time
         t0 = _time.perf_counter()
-        logits, self.cache = decode_step(
-            self.params, self.cache, jnp.asarray(tokens),
-            jnp.asarray(active_mask), self.config)
+        if self._tp_decode is not None:
+            logits, self.cache = self._tp_decode(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(active_mask))
+        else:
+            logits, self.cache = decode_step(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(active_mask), self.config)
         self.key, sub = jax.random.split(self.key)
         # sample per-slot (sampling params may differ; greedy common case
         # batched, others per-row)
@@ -238,14 +284,28 @@ class DecodeEngine:
             self.config.num_layers, self.max_batch, self.max_seq,
             self.config.num_kv_heads, self.config.hd,
             quantized=self.cache.quantized, dtype=self.cache.dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel import kv_cache_spec
+            scratch = jax.device_put(
+                scratch, jax.tree_util.tree_map(
+                    lambda s: NamedSharding(self.mesh, s),
+                    kv_cache_spec(scratch),
+                    is_leaf=lambda x: isinstance(x, P)))
+        prefill = prefill_step if self.mesh is None else prefill_step_spmd
         for b in buckets:
             toks = jnp.zeros((1, b), jnp.int32)
-            _, scratch = prefill_step(self.params, scratch, toks,
-                                      jnp.int32(0), jnp.int32(min(b, 1)),
-                                      self.config)
-        logits, _ = decode_step(
-            self.params, scratch, jnp.zeros((self.max_batch,), jnp.int32),
-            jnp.ones((self.max_batch,), bool), self.config)
+            _, scratch = prefill(self.params, scratch, toks,
+                                 jnp.int32(0), jnp.int32(min(b, 1)),
+                                 self.config)
+        if self._tp_decode is not None:
+            logits, _ = self._tp_decode(
+                self.params, scratch, jnp.zeros((self.max_batch,), jnp.int32),
+                jnp.ones((self.max_batch,), bool))
+        else:
+            logits, _ = decode_step(
+                self.params, scratch, jnp.zeros((self.max_batch,), jnp.int32),
+                jnp.ones((self.max_batch,), bool), self.config)
         jax.block_until_ready(logits)
 
     # -- convenience ------------------------------------------------------

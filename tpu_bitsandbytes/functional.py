@@ -117,6 +117,26 @@ _native_fallback_warned = False
 _FUSED_ENABLED = True
 
 
+class disable_fused_kernels:
+    """Context manager forcing the XLA (GSPMD-partitionable) matmul path.
+
+    Pallas custom calls cannot be auto-partitioned by GSPMD; computations
+    that jit over sharded quantized params outside shard_map (e.g. the
+    engine's tensor-parallel prefill) disable the fused path for their
+    trace."""
+
+    def __enter__(self):
+        global _FUSED_ENABLED
+        self._prev = _FUSED_ENABLED
+        _FUSED_ENABLED = False
+        return self
+
+    def __exit__(self, *exc):
+        global _FUSED_ENABLED
+        _FUSED_ENABLED = self._prev
+        return False
+
+
 def _default_backend() -> str:
     try:
         return jax.default_backend()
