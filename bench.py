@@ -42,17 +42,26 @@ def random_qlinear(key, n, k, blocksize=64, dtype=jnp.bfloat16):
                     blocksize=blocksize, quant_type="nf4", dtype=dtype)
 
 
-def random_quantized_params(config, blocksize=64):
+def random_quantized_params(config, blocksize=64, fuse_projections=True):
+    """Fused qkv/gateup layout by default (4 kernels/layer, decode win)."""
     h, hd = config.hidden_size, config.hd
     n_q = config.num_heads * hd
     n_kv = config.num_kv_heads * hd
-    shapes = {
-        "q_proj": (n_q, h), "k_proj": (n_kv, h), "v_proj": (n_kv, h),
-        "o_proj": (h, n_q),
-        "gate_proj": (config.intermediate_size, h),
-        "up_proj": (config.intermediate_size, h),
-        "down_proj": (h, config.intermediate_size),
-    }
+    if fuse_projections:
+        shapes = {
+            "qkv_proj": (n_q + 2 * n_kv, h),
+            "o_proj": (h, n_q),
+            "gateup_proj": (2 * config.intermediate_size, h),
+            "down_proj": (h, config.intermediate_size),
+        }
+    else:
+        shapes = {
+            "q_proj": (n_q, h), "k_proj": (n_kv, h), "v_proj": (n_kv, h),
+            "o_proj": (h, n_q),
+            "gate_proj": (config.intermediate_size, h),
+            "up_proj": (config.intermediate_size, h),
+            "down_proj": (h, config.intermediate_size),
+        }
     key = jax.random.PRNGKey(0)
     layers = []
     for li in range(config.num_layers):
@@ -110,7 +119,8 @@ def main():
 
     print(f"building random NF4 {args.model} params...", file=sys.stderr)
     params = random_quantized_params(config)
-    jax.block_until_ready(params["layers"][0]["q_proj"].packed)
+    first = params["layers"][0]
+    jax.block_until_ready(first.get("qkv_proj", first.get("q_proj")).packed)
 
     cache = KVCache.create(config.num_layers, args.batch, args.max_seq,
                            config.num_kv_heads, config.hd, quantized=True,

@@ -124,3 +124,36 @@ class TestGPT2:
         ppl_q = gpt2.perplexity(qm, batches)
         # random weights -> ppl ~ vocab; quantization must not distort much
         assert abs(ppl_q - ppl_fp) / ppl_fp < 0.05
+
+
+class TestFusedProjections:
+    def test_fused_matches_unfused(self, rng):
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+        q_u = llama.quantize_params(params, dtype=jnp.float32)
+        q_f = llama.quantize_params(params, dtype=jnp.float32,
+                                    fuse_projections=True)
+        assert "qkv_proj" in q_f["layers"][0]
+        assert "q_proj" not in q_f["layers"][0]
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)))
+        lu = np.asarray(llama.forward(q_u, tokens, cfg), np.float32)
+        lf = np.asarray(llama.forward(q_f, tokens, cfg), np.float32)
+        # fusion changes block boundaries only across the concat axis N —
+        # blockwise quantization is per-row, so results are identical
+        assert np.allclose(lu, lf, atol=1e-4)
+
+    def test_fused_engine_decode(self, rng):
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+        sp = SamplingParams(max_new_tokens=4)
+        prompt = list(rng.integers(0, cfg.vocab_size, 5))
+        e_u = DecodeEngine(llama.quantize_params(params, dtype=jnp.float32),
+                           cfg, max_batch=1, max_seq=64, quantized_kv=False)
+        e_f = DecodeEngine(
+            llama.quantize_params(params, dtype=jnp.float32,
+                                  fuse_projections=True),
+            cfg, max_batch=1, max_seq=64, quantized_kv=False)
+        assert e_u.generate([prompt], sp) == e_f.generate([prompt], sp)
