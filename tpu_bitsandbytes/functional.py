@@ -966,8 +966,12 @@ def matmul_4bit(
                  and A2.shape[0] <= _FUSED_M_CROSSOVER)
     if use_fused:
         from .ops.matmul4bit import fused_matmul_4bit  # lazy: avoids cycle
+        # Half-precision compute uses native bf16 MXU passes; f32 compute
+        # keeps the exact (Precision.HIGHEST) path for oracle parity.
+        mxu = (jnp.bfloat16 if jnp.dtype(compute_dtype) in
+               (jnp.bfloat16, jnp.float16) else jnp.float32)
         try:
-            out = fused_matmul_4bit(A2, B, quant_state)
+            out = fused_matmul_4bit(A2, B, quant_state, mxu_dtype=mxu)
         except NotImplementedError:
             out = None
     if out is None:
