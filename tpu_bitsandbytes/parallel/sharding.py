@@ -33,13 +33,19 @@ def _linear_spec(w, col: bool):
                 "quantize with compress_statistics=False for sharded params")
         two_d = P("tp", None) if col else P(None, "tp")
         return QLinear4(
-            packed=two_d,
+            packed=None if w.packed is None else two_d,
             absmax=None if w.absmax is None else two_d,
             shape=w.shape, blocksize=w.blocksize, quant_type=w.quant_type,
             dtype=w.dtype,
             bias=None if w.bias is None else (P("tp") if col else P()),
             absmax_q=None if w.absmax_q is None else two_d,
-            absmax_state=None)
+            absmax_state=None,
+            # runtime exec cache shards like a dense [N, K] weight; the
+            # per-row int8 scale is column-sharded with its rows and
+            # replicated for row-parallel (it commutes with the K-psum)
+            w_cache=None if w.w_cache is None else two_d,
+            cache_scale=(None if w.cache_scale is None
+                         else (P("tp") if col else P())))
     return P("tp", None) if col else P(None, "tp")
 
 

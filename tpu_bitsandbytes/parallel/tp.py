@@ -34,8 +34,11 @@ def _localize(w, strip_bias: bool = False):
     reduction.
     """
     if isinstance(w, QLinear4):
-        n, k2 = w.packed.shape
-        return dataclasses.replace(w, shape=(n, 2 * k2),
+        if w.packed is not None:
+            n, k = w.packed.shape[0], 2 * w.packed.shape[1]
+        else:
+            n, k = w.w_cache.shape
+        return dataclasses.replace(w, shape=(n, k),
                                    bias=None if strip_bias else w.bias)
     return w
 

@@ -60,6 +60,13 @@ def _encode(obj: Any, arrays: Dict[str, np.ndarray], path: str):
                 "offset": _encode(obj.offset, arrays, path),
                 "state2": _encode(obj.state2, arrays, path)}
     if isinstance(obj, QLinear4):
+        # Runtime exec caches (w_cache/cache_scale) are rebuildable from the
+        # packed codes and deliberately not checkpointed; NF4 is the storage
+        # format (reference: nn/linear4bit.py:245-312 serializes QuantState).
+        if obj.packed is None:
+            raise TypeError(
+                f"cannot checkpoint {path}: packed codes were dropped "
+                "(with_runtime_cache(drop_packed=True) is serving-only)")
         return {"__type__": "QLinear4",
                 "packed": _encode(obj.packed, arrays, path),
                 "absmax": _encode(obj.absmax, arrays, path),
