@@ -174,6 +174,155 @@ class TestSampler:
             assert int(t[0]) == 0
 
 
+class TestSamplerBatched:
+    """Per-slot sampling arrays: one jitted op, mixed params per row."""
+
+    def test_greedy_rows_match_argmax(self):
+        from tpu_bitsandbytes.engine.sampler import (SamplingArrays,
+                                                     sample_batched)
+        logits = jnp.asarray([[0.0, 5.0, 1.0, 2.0],
+                              [3.0, 0.0, 7.0, 1.0]])
+        s = SamplingArrays.build({}, 2)   # default: all greedy
+        t = sample_batched(logits, jax.random.PRNGKey(0), s)
+        assert list(np.asarray(t)) == [1, 2]
+
+    def test_per_row_topk(self):
+        from tpu_bitsandbytes.engine.sampler import (SamplingArrays,
+                                                     sample_batched)
+        # row 0 greedy, row 1 temperature with top_k=2 over clear leaders
+        logits = jnp.asarray([[0.0, 5.0, 1.0, 2.0],
+                              [10.0, 9.0, -50.0, -50.0]])
+        s = SamplingArrays.build(
+            {1: SamplingParams(temperature=1.0, top_k=2)}, 2)
+        for i in range(10):
+            t = np.asarray(sample_batched(logits, jax.random.PRNGKey(i), s))
+            assert t[0] == 1
+            assert t[1] in (0, 1)
+
+    def test_per_row_topp(self):
+        from tpu_bitsandbytes.engine.sampler import (SamplingArrays,
+                                                     sample_batched)
+        logits = jnp.asarray([[10.0, 1.0, 0.0, -1.0]])
+        s = SamplingArrays.build(
+            {0: SamplingParams(temperature=1.0, top_p=0.5)}, 1)
+        for i in range(10):
+            t = np.asarray(sample_batched(logits, jax.random.PRNGKey(i), s))
+            assert t[0] == 0
+
+    def test_matches_single_row_sampler(self):
+        """Batched greedy/top-k agree with the per-request `sample`."""
+        from tpu_bitsandbytes.engine.sampler import (SamplingArrays,
+                                                     sample, sample_batched)
+        rng = np.random.default_rng(7)
+        logits = jnp.asarray(rng.standard_normal((3, 16)).astype(np.float32))
+        sp = SamplingParams(temperature=0.0)
+        s = SamplingArrays.build({i: sp for i in range(3)}, 3)
+        key = jax.random.PRNGKey(0)
+        assert list(np.asarray(sample_batched(logits, key, s))) == \
+            list(np.asarray(sample(logits, key, sp)))
+
+
+class TestDecodeChunk:
+    def test_chunk_equals_stepwise_greedy(self, tiny_model, rng):
+        """n_steps greedy chunk == n sequential decode_step+argmax."""
+        from tpu_bitsandbytes.engine.engine import decode_chunk
+        from tpu_bitsandbytes.engine.sampler import SamplingArrays
+        cfg, params = tiny_model
+        B, n = 2, 4
+        prompt_len = 5
+
+        prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)),
+                             jnp.int32)
+
+        def fresh_cache():
+            c = KVCache.create(cfg.num_layers, B, 32, cfg.num_kv_heads,
+                               cfg.hd, quantized=False, dtype=jnp.float32)
+            for slot in range(B):
+                _, c = prefill_step(params, c, prompt, jnp.int32(slot),
+                                    jnp.int32(prompt_len), cfg)
+            return c
+
+        rng = np.random.default_rng(3)
+        tokens0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (B,)),
+                              jnp.int32)
+        active0 = jnp.ones((B,), bool)
+
+        # oracle: stepwise
+        cache = fresh_cache()
+        tokens, seq = tokens0, []
+        for _ in range(n):
+            logits, cache = decode_step(params, cache, tokens, active0, cfg)
+            tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            seq.append(np.asarray(tokens))
+
+        samp = SamplingArrays.build({}, B)
+        toks_seq, act_seq, *_ = decode_chunk(
+            params, fresh_cache(), tokens0, active0, jax.random.PRNGKey(0),
+            samp, cfg, n_steps=n, all_greedy=True)
+        assert np.array_equal(np.asarray(toks_seq), np.stack(seq))
+        assert np.asarray(act_seq).all()
+
+    def test_eos_deactivates_mid_chunk(self, tiny_model, rng):
+        """A slot hitting EOS stops emitting and stops advancing lengths."""
+        from tpu_bitsandbytes.engine.engine import decode_chunk
+        from tpu_bitsandbytes.engine.sampler import SamplingArrays
+        cfg, params = tiny_model
+        cache = KVCache.create(cfg.num_layers, 1, 32, cfg.num_kv_heads,
+                               cfg.hd, quantized=False, dtype=jnp.float32)
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)), jnp.int32)
+        _, cache = prefill_step(params, cache, toks, jnp.int32(0),
+                                jnp.int32(5), cfg)
+        t0 = jnp.asarray([3], jnp.int32)
+        # probe first greedy token, then declare it the EOS
+        probe_seq, _, *_ = decode_chunk(
+            params, cache, t0, jnp.ones((1,), bool), jax.random.PRNGKey(0),
+            SamplingArrays.build({}, 1), cfg, n_steps=4, all_greedy=True)
+        eos = int(np.asarray(probe_seq)[0, 0])
+
+        cache2 = KVCache.create(cfg.num_layers, 1, 32, cfg.num_kv_heads,
+                                cfg.hd, quantized=False, dtype=jnp.float32)
+        _, cache2 = prefill_step(params, cache2, toks, jnp.int32(0),
+                                 jnp.int32(5), cfg)
+        samp = SamplingArrays.build(
+            {0: SamplingParams(eos_token_id=eos)}, 1)
+        toks_seq, act_seq, cache2, _, active, _ = decode_chunk(
+            params, cache2, t0, jnp.ones((1,), bool), jax.random.PRNGKey(0),
+            samp, cfg, n_steps=4, all_greedy=True)
+        act = np.asarray(act_seq)[:, 0]
+        assert act[0] and not act[1:].any()       # emitted EOS, then silent
+        assert not bool(np.asarray(active)[0])
+        # lengths advanced once (the EOS step) and then froze
+        assert int(np.asarray(cache2.lengths)[0]) == 6
+
+    def test_engine_mixed_sampling_single_dispatch(self, tiny_model, rng):
+        """Mixed greedy/temperature requests run through the batched
+        on-device sampler (no per-slot host loop) and still finish."""
+        cfg, params = tiny_model
+        engine = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                              quantized_kv=False, steps_per_sync=4)
+        p1 = list(rng.integers(0, cfg.vocab_size, 4))
+        p2 = list(rng.integers(0, cfg.vocab_size, 4))
+        engine.add_request(p1, SamplingParams(max_new_tokens=6))
+        engine.add_request(p2, SamplingParams(temperature=0.8, top_k=4,
+                                              max_new_tokens=6))
+        while engine.step():
+            pass
+        outs = {r.uid: r.generated for r in engine.finished}
+        assert sorted(len(v) for v in outs.values()) == [6, 6]
+
+    def test_steps_per_sync_invariance(self, tiny_model, rng):
+        """Generated tokens don't depend on the chunk size (greedy)."""
+        cfg, params = tiny_model
+        prompts = [list(rng.integers(0, cfg.vocab_size, 5)) for _ in range(3)]
+        sp = SamplingParams(max_new_tokens=7)
+        outs = []
+        for n in (1, 4):
+            e = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                             quantized_kv=False, steps_per_sync=n)
+            outs.append(e.generate(prompts, sp))
+        assert outs[0] == outs[1]
+
+
 class TestEngineLimits:
     def test_long_prompt_truncated(self, tiny_model, rng):
         cfg, params = tiny_model

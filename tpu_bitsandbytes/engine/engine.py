@@ -25,7 +25,7 @@ import numpy as np
 from ..models import llama
 from ..models.layers import linear_apply, rms_norm
 from .kvcache import KVCache
-from .sampler import SamplingParams, sample
+from .sampler import SamplingArrays, SamplingParams, sample, sample_batched
 
 
 # ---------------------------------------------------------------------------
@@ -33,13 +33,8 @@ from .sampler import SamplingParams, sample
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
-def decode_step(params, cache: KVCache, tokens: jnp.ndarray, active: jnp.ndarray,
-                config: llama.LlamaConfig):
-    """Advance every slot one token. tokens [B] int32, active [B] bool.
-
-    Returns (logits [B, V], new cache with lengths advanced for active slots).
-    """
+def _decode_step_impl(params, cache: KVCache, tokens, active,
+                      config: llama.LlamaConfig):
     positions = cache.lengths  # write position for this step
     x, cos, sin = llama.decode_embed_and_rope(params, tokens, positions,
                                               config)
@@ -57,6 +52,56 @@ def decode_step(params, cache: KVCache, tokens: jnp.ndarray, active: jnp.ndarray
     cache = dataclasses.replace(
         cache, lengths=cache.lengths + active.astype(jnp.int32))
     return logits.astype(jnp.float32), cache
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
+def decode_step(params, cache: KVCache, tokens: jnp.ndarray, active: jnp.ndarray,
+                config: llama.LlamaConfig):
+    """Advance every slot one token. tokens [B] int32, active [B] bool.
+
+    Returns (logits [B, V], new cache with lengths advanced for active slots).
+    """
+    return _decode_step_impl(params, cache, tokens, active, config)
+
+
+@partial(jax.jit, static_argnames=("config", "n_steps", "all_greedy"),
+         donate_argnums=(1,))
+def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
+                 active: jnp.ndarray, key: jax.Array, samp,
+                 config: llama.LlamaConfig, n_steps: int = 8,
+                 all_greedy: bool = False):
+    """Advance every slot up to ``n_steps`` tokens in ONE jit call.
+
+    Sampling (per-slot :class:`SamplingArrays`) and EOS handling run on
+    device inside a ``lax.scan``, so the host pays dispatch overhead once per
+    chunk instead of once per token — on the tunneled chip one decode-step
+    dispatch costs ~2-3x the 7B device step itself (kbench/profile_decode).
+    A slot that hits its EOS mid-chunk goes inactive on device; its later
+    emissions carry ``active=False`` and are discarded by the scheduler.
+
+    Returns (tokens_seq [n_steps, B], active_seq [n_steps, B], cache,
+    last_tokens [B], active [B], key).
+    """
+    max_seq = cache.max_seq
+
+    def body(carry, _):
+        cache, tokens, active, key = carry
+        logits, cache = _decode_step_impl(params, cache, tokens, active,
+                                          config)
+        key, sub = jax.random.split(key)
+        if all_greedy:
+            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            toks = sample_batched(logits, sub, samp)
+        toks = jnp.where(active, toks, tokens)
+        emitted_by = active
+        hit_eos = active & (toks == samp.eos_id)
+        active = active & ~hit_eos & (cache.lengths < max_seq - 1)
+        return (cache, toks, active, key), (toks, emitted_by)
+
+    (cache, tokens, active, key), (toks_seq, act_seq) = jax.lax.scan(
+        body, (cache, tokens, active, key), None, length=n_steps)
+    return toks_seq, act_seq, cache, tokens, active, key
 
 
 def _prefill_impl(params, cache: KVCache, tokens, slot, true_len,
@@ -95,6 +140,13 @@ def prefill_step_spmd(params, cache: KVCache, tokens: jnp.ndarray,
         return _prefill_impl(params, cache, tokens, slot, true_len, config)
 
 
+@partial(jax.jit, static_argnames=("all_greedy",))
+def _sample_jit(logits, key, samp, all_greedy: bool):
+    if all_greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return sample_batched(logits, key, samp)
+
+
 # ---------------------------------------------------------------------------
 # continuous batching
 # ---------------------------------------------------------------------------
@@ -127,15 +179,25 @@ class DecodeEngine:
 
     def __init__(self, params, config: llama.LlamaConfig, *,
                  max_batch: int = 8, max_seq: Optional[int] = None,
-                 quantized_kv: bool = True, seed: int = 0, mesh=None):
+                 quantized_kv: bool = True, seed: int = 0, mesh=None,
+                 steps_per_sync: int = 8, runtime_cache: Optional[str] = None):
         """``mesh``: a (dp, tp) Mesh for multi-chip serving. Params are
         tp/dp-sharded (column/row-parallel packed weights, head-sharded KV
         cache); decode runs the shard_map TP step, prefill runs under GSPMD.
-        Requires max_batch % dp == 0 and head/ffn dims divisible by tp."""
+        Requires max_batch % dp == 0 and head/ffn dims divisible by tp.
+
+        ``steps_per_sync``: decode tokens generated per host round-trip (the
+        device runs that many steps in one jitted chunk; admission of queued
+        requests happens between chunks). 1 restores per-token stepping.
+        ``runtime_cache``: "int8"/"bf16" builds the execution cache on the
+        quantized params (see models.llama.build_runtime_cache)."""
         self.config = config
         self.max_batch = max_batch
         self.max_seq = max_seq or config.max_seq_len
         self.mesh = mesh
+        self.steps_per_sync = max(1, int(steps_per_sync))
+        if runtime_cache:
+            params = llama.build_runtime_cache(params, runtime_cache)
         cache = KVCache.create(
             config.num_layers, max_batch, self.max_seq, config.num_kv_heads,
             config.hd, quantized=quantized_kv, dtype=config.dtype)
@@ -240,32 +302,45 @@ class DecodeEngine:
 
         import time as _time
         t0 = _time.perf_counter()
+        all_greedy = all(self.active[s].params.temperature <= 0
+                         for s in self.active)
         if self._tp_decode is not None:
+            # mesh path: per-step decode + device-batched sampling
             logits, self.cache = self._tp_decode(
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(active_mask))
-        else:
-            logits, self.cache = decode_step(
-                self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(active_mask), self.config)
+            self.key, sub = jax.random.split(self.key)
+            samp = SamplingArrays.build(
+                {s: r.params for s, r in self.active.items()}, self.max_batch)
+            toks = np.asarray(_sample_jit(logits, sub, samp, all_greedy))
+            emitted = 0
+            for slot in list(self.active.keys()):
+                if active_mask[slot]:
+                    self._collect(slot, self.active.get(slot),
+                                  int(toks[slot]))
+                    emitted += 1
+            self.metrics.record(emitted, _time.perf_counter() - t0)
+            return bool(self.waiting or self.active)
+
+        # single-device path: n steps per host sync, sampling on device
+        samp = SamplingArrays.build(
+            {s: r.params for s, r in self.active.items()}, self.max_batch)
         self.key, sub = jax.random.split(self.key)
-        # sample per-slot (sampling params may differ; greedy common case
-        # batched, others per-row)
-        from .sampler import greedy as greedy_fn
-        all_greedy = all(self.active[s].params.temperature <= 0
-                         for s in self.active)
-        if all_greedy:
-            toks = np.asarray(greedy_fn(logits))
-        else:
-            toks = np.zeros((self.max_batch,), np.int64)
-            for slot, req in self.active.items():
-                self.key, sub = jax.random.split(self.key)
-                toks[slot] = int(sample(logits[slot][None], sub, req.params)[0])
-        for slot in list(self.active.keys()):
-            if active_mask[slot]:
-                self._collect(slot, self.active.get(slot), int(toks[slot]))
-        self.metrics.record(int(active_mask.sum()),
-                            _time.perf_counter() - t0)
+        toks_seq, act_seq, self.cache, *_ = decode_chunk(
+            self.params, self.cache, jnp.asarray(tokens),
+            jnp.asarray(active_mask), sub, samp, self.config,
+            n_steps=self.steps_per_sync, all_greedy=all_greedy)
+        toks_seq = np.asarray(toks_seq)
+        act_seq = np.asarray(act_seq)
+        emitted = 0
+        for i in range(toks_seq.shape[0]):
+            for slot in list(self.active.keys()):
+                req = self.active.get(slot)
+                if req is None or not act_seq[i, slot]:
+                    continue
+                self._collect(slot, req, int(toks_seq[i, slot]))
+                emitted += 1
+        self.metrics.record(emitted, _time.perf_counter() - t0)
         return bool(self.waiting or self.active)
 
     def warmup(self, prompt_lengths: Optional[List[int]] = None) -> None:
