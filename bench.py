@@ -97,13 +97,14 @@ def random_quantized_params(config, blocksize=64, fuse_projections=True,
     }
 
 
-def bytes_per_token(params, config, cache, batch=1):
+def bytes_per_token(params, config, cache, batch=1, attn_span=None):
     """HBM bytes the decode step actually reads per generated token.
 
     Weight bytes are summed from the parameter leaves (so they reflect the
     execution format in use) and amortize over the batch. The KV term counts
-    the FULL static [*, S_max] cache read the current attention performs
-    (engine/kvcache.py read()) plus the per-token write.
+    the ``[*, :attn_span]`` cache read the attention actually performs
+    (engine/kvcache.py read(); full S_max when span is None) plus the
+    per-token write.
     """
     w_bytes = 0
     for leaf in jax.tree_util.tree_leaves(
@@ -117,7 +118,9 @@ def bytes_per_token(params, config, cache, batch=1):
     kv_full = sum(a.size * a.dtype.itemsize
                   for a in (cache.k, cache.v, cache.k_scale, cache.v_scale)
                   if a is not None)
-    kv_read = kv_full / batch                     # full S_max read, per slot
+    if attn_span is not None:
+        kv_full = kv_full * attn_span / cache.max_seq
+    kv_read = kv_full / batch                     # per-slot share of the read
     kv_write = cache.bytes_per_token()
     return w_bytes / batch + kv_read + kv_write
 
@@ -174,7 +177,15 @@ def main():
     import dataclasses
     cache = dataclasses.replace(
         cache, lengths=jnp.full((args.batch,), args.context, jnp.int32))
-    bpt = bytes_per_token(params, config, cache, batch=args.batch)
+
+    # one static attention span covering the whole run (the engine re-buckets
+    # per chunk; see DecodeEngine._attn_span)
+    n_chunks = max(1, args.steps // args.chunk_steps)
+    total_steps = (3 + n_chunks) * args.chunk_steps  # first + 2 warmup + timed
+    span = min(args.max_seq,
+               -(-(args.context + total_steps) // 128) * 128)
+    bpt = bytes_per_token(params, config, cache, batch=args.batch,
+                          attn_span=span)
 
     tokens = jnp.zeros((args.batch,), jnp.int32)
     active = jnp.ones((args.batch,), bool)
@@ -186,11 +197,11 @@ def main():
         (sampling on device — exactly what DecodeEngine.step dispatches)."""
         toks_seq, act_seq, cache, tokens, active, key = decode_chunk(
             params, cache, tokens, active, key, samp, config,
-            n_steps=args.chunk_steps, all_greedy=True)
+            n_steps=args.chunk_steps, all_greedy=True, attn_span=span)
         return cache, tokens, active, key, toks_seq
 
-    print(f"compiling decode chunk ({args.chunk_steps} steps/sync)...",
-          file=sys.stderr)
+    print(f"compiling decode chunk ({args.chunk_steps} steps/sync, "
+          f"attn span {span}/{args.max_seq})...", file=sys.stderr)
     t0 = time.time()
     cache, tokens, active, key, toks = chunk(cache, tokens, active, key)
     jax.block_until_ready(toks)
@@ -201,7 +212,6 @@ def main():
         cache, tokens, active, key, toks = chunk(cache, tokens, active, key)
     jax.block_until_ready(toks)
 
-    n_chunks = max(1, args.steps // args.chunk_steps)
     times = []
     for _ in range(n_chunks):
         t0 = time.time()

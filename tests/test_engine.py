@@ -294,6 +294,48 @@ class TestDecodeChunk:
         # lengths advanced once (the EOS step) and then froze
         assert int(np.asarray(cache2.lengths)[0]) == 6
 
+    def test_attn_span_matches_full(self, tiny_model, rng):
+        """Bounded-span attention == full-cache attention when the span
+        covers every active length (the engine's invariant)."""
+        from tpu_bitsandbytes.engine.engine import decode_chunk
+        from tpu_bitsandbytes.engine.sampler import SamplingArrays
+        cfg, params = tiny_model
+        prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)),
+                             jnp.int32)
+
+        def run(span):
+            c = KVCache.create(cfg.num_layers, 2, 64, cfg.num_kv_heads,
+                               cfg.hd, quantized=False, dtype=jnp.float32)
+            for slot in range(2):
+                _, c = prefill_step(params, c, prompt, jnp.int32(slot),
+                                    jnp.int32(6), cfg)
+            toks_seq, *_ = decode_chunk(
+                params, c, jnp.asarray([1, 2], jnp.int32),
+                jnp.ones((2,), bool), jax.random.PRNGKey(0),
+                SamplingArrays.build({}, 2), cfg, n_steps=5,
+                all_greedy=True, attn_span=span)
+            return np.asarray(toks_seq)
+
+        assert np.array_equal(run(None), run(16))
+
+    def test_short_prefill_into_reused_long_slot(self, tiny_model, rng):
+        """Garbage-KV contract (engine/engine.py prefill docstring): a short
+        prefill into a slot previously holding a LONG sequence must never
+        attend the stale tail — tokens must match a fresh engine."""
+        cfg, params = tiny_model
+        long_p = list(rng.integers(0, cfg.vocab_size, 40))
+        short_p = list(rng.integers(0, cfg.vocab_size, 4))
+        sp = SamplingParams(max_new_tokens=5)
+
+        fresh = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                             quantized_kv=False)
+        want = fresh.generate([short_p], sp)[0]
+
+        reused = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                              quantized_kv=False)
+        outs = reused.generate([long_p, short_p], sp)
+        assert outs[1] == want
+
     def test_engine_mixed_sampling_single_dispatch(self, tiny_model, rng):
         """Mixed greedy/temperature requests run through the batched
         on-device sampler (no per-slot host loop) and still finish."""

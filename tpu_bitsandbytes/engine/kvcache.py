@@ -10,7 +10,7 @@ continuous-batching scheduler.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -122,20 +122,30 @@ class KVCache:
             v_new[:, 0].astype(self.v.dtype))
         return dataclasses.replace(self, k=k, v=v)
 
-    def read(self, layer: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Dequantized K/V for a layer: [B, S_max, H, D] in compute dtype.
+    def read(self, layer: int, span: Optional[int] = None
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Dequantized K/V for a layer: [B, span, H, D] in compute dtype.
+
+        ``span`` (static) restricts the read to the first ``span`` positions —
+        the decode cost then tracks actual sequence lengths instead of
+        ``S_max`` (the engine passes a bucketed ``max(lengths) + n_steps``).
+        Positions ≥ span for *active* slots would be silently unattended, so
+        callers must guarantee span covers every active slot's length.
 
         XLA fuses the int8→bf16 dequant into the attention matmuls, so the
         bf16 tensors are never materialized in HBM — the HBM read is the
         int8 codes + scales (the whole point of a quantized cache).
         """
+        sl = slice(None) if span is None else slice(0, span)
         if self.quantized:
-            k = (self.k[layer].astype(jnp.float32)
-                 * (self.k_scale[layer][..., None] / 127.0)).astype(self.dtype)
-            v = (self.v[layer].astype(jnp.float32)
-                 * (self.v_scale[layer][..., None] / 127.0)).astype(self.dtype)
+            k = (self.k[layer, :, sl].astype(jnp.float32)
+                 * (self.k_scale[layer, :, sl][..., None] / 127.0)
+                 ).astype(self.dtype)
+            v = (self.v[layer, :, sl].astype(jnp.float32)
+                 * (self.v_scale[layer, :, sl][..., None] / 127.0)
+                 ).astype(self.dtype)
             return k, v
-        return self.k[layer], self.v[layer]
+        return self.k[layer, :, sl], self.v[layer, :, sl]
 
     def reset_slot(self, slot: int) -> "KVCache":
         return dataclasses.replace(

@@ -268,14 +268,17 @@ def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
 def decode_layer(layer, x, cos, sin, positions, cache, li,
                  config: LlamaConfig, *, n_heads: int, n_kv: int,
                  wrap=lambda w, row=False: w,
-                 reduce_fn=lambda t, w: t):
+                 reduce_fn=lambda t, w: t,
+                 attn_span: Optional[int] = None):
     """One transformer layer of the cached decode step (single token).
 
     Shared by the single-device decode step (engine/engine.py) and the
     tensor-parallel decode step (parallel/tp.py). ``wrap`` adapts weight
     leaves (e.g. localizes TP shards and strips row-parallel biases);
     ``reduce_fn(partial, weight)`` reduces row-parallel partials (psum) and
-    re-applies their bias once. Returns (x, cache).
+    re-applies their bias once. ``attn_span`` (static) bounds the KV read to
+    the first ``attn_span`` positions so attention cost tracks actual
+    lengths, not ``max_seq`` (see KVCache.read). Returns (x, cache).
     """
     b = x.shape[0]
     hd = config.hd
@@ -294,7 +297,7 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     cache = cache.write_decode(li, k, v, positions)
-    k_all, v_all = cache.read(li)
+    k_all, v_all = cache.read(li, attn_span)
     attn = gqa_attention(q, k_all, v_all, causal_offset=positions[:, None])
     o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, 1, -1))
     x = x + reduce_fn(o, layer["o_proj"])
