@@ -70,6 +70,31 @@ class TestFP8E4M3:
         y = F.matmul_fp8_e4m3(jnp.asarray(x), q, scales, dtype=jnp.float32)
         assert y.shape == (32,)
 
+    def test_fused_matmul_matches_dequant(self, rng):
+        """The fused convert-in-dot matmul must match explicitly
+        dequantizing the weight then GEMMing (the reference fallback,
+        functional.py:796-807)."""
+        W = rng.standard_normal((32, 64)).astype(np.float32)
+        x = rng.standard_normal((4, 64)).astype(np.float32)
+        q, scales = F.quantize_fp8_e4m3(jnp.asarray(W))
+        fused = np.asarray(F.matmul_fp8_e4m3(jnp.asarray(x), q, scales,
+                                             dtype=jnp.float32))
+        Wd = np.asarray(F.dequantize_fp8_e4m3(q, scales, jnp.float32))
+        ref = x @ Wd.T
+        assert np.abs(fused - ref).max() < 1e-3 * np.abs(ref).max()
+
+    def test_matmul_bias_and_3d(self, rng):
+        W = rng.standard_normal((32, 64)).astype(np.float32)
+        x = rng.standard_normal((2, 3, 64)).astype(np.float32)
+        b = rng.standard_normal(32).astype(np.float32)
+        q, scales = F.quantize_fp8_e4m3(jnp.asarray(W))
+        y = F.matmul_fp8_e4m3(jnp.asarray(x), q, scales,
+                              bias=jnp.asarray(b), dtype=jnp.float32)
+        assert y.shape == (2, 3, 32)
+        Wd = np.asarray(F.dequantize_fp8_e4m3(q, scales, jnp.float32))
+        ref = x @ Wd.T + b
+        assert np.abs(np.asarray(y) - ref).max() < 1e-3 * np.abs(ref).max()
+
 
 class TestFP8E5M2:
     def test_roundtrip_cossim(self, rng):

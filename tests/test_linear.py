@@ -109,6 +109,19 @@ class TestLinear8bit:
         q.clear_cache()
         assert q._weight_cache is None
 
+    def test_fused_matches_materialized(self, rng):
+        """The fused int8-MXU forward (convert+dot, output-side scaling)
+        must match the reference-style dequant-then-GEMM path."""
+        src = make_linear(rng)
+        fused = tbnb.Linear8bit.from_linear(src, compute_dtype=jnp.float32)
+        mat = tbnb.Linear8bit.from_linear(src, use_cache=True,
+                                          compute_dtype=jnp.float32)
+        assert not fused.use_cache
+        x = jnp.asarray(rng.standard_normal((4, 128)).astype(np.float32))
+        yf = np.asarray(fused(x), np.float32)
+        ym = np.asarray(mat(x), np.float32)
+        assert np.abs(yf - ym).max() < 1e-3 * np.abs(ym).max()
+
 
 class TestLinearFP8:
     def test_forward_close_to_fp(self, rng):

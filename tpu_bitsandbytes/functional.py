@@ -730,13 +730,28 @@ def dequantize_fp8_e4m3(quantized, scales, dtype=jnp.bfloat16):
 
 
 def matmul_fp8_e4m3(input, weight, weight_scales, bias=None, dtype=jnp.bfloat16):
-    """Matmul with FP8-E4M3 weights (reference: functional.py:796-807)."""
-    w = dequantize_fp8_e4m3(weight, weight_scales, dtype)
+    """Fused matmul with FP8-E4M3 weights (reference: functional.py:796-807,
+    fused kernels csrc/mps_bitsandbytes.mm:1067-1203, kernels/fp8_matmul.metal).
+
+    TPU-native fusion: the stored uint8 bits are bitcast to the hardware
+    ``float8_e4m3fn`` dtype and widened *inside* the dot — XLA fuses the
+    convert chain into the GEMM the same way as the int8 W8A16 path
+    (kbench/probe2: ~750 GB/s, 91%% of v5e HBM roofline), so the bf16
+    weight is never materialized in HBM. Row scales apply on the output
+    (rank-1 epilogue), exactly equivalent to scaling the weight rows."""
     x = jnp.asarray(input)
     is_1d = x.ndim == 1
     if is_1d:
         x = x[None, :]
-    out = x.astype(dtype) @ w.T
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    w8 = jax.lax.bitcast_convert_type(
+        jnp.asarray(weight).astype(jnp.uint8), jnp.float8_e4m3fn)
+    out = jax.lax.dot_general(
+        x2.astype(dtype), w8.astype(dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    out = out * jnp.asarray(weight_scales).astype(jnp.float32)[None, :]
+    out = out.astype(dtype).reshape(*lead, -1)
     if bias is not None:
         out = out + jnp.asarray(bias).astype(dtype)
     return out[0] if is_1d else out

@@ -21,7 +21,8 @@ from ..functional import dequantize_rowwise, quantize_rowwise
 
 class Linear8bit(Module):
     def __init__(self, in_features: int, out_features: int, bias: bool = True,
-                 device=None, use_cache: bool = True, compute_dtype=jnp.bfloat16):
+                 device=None, use_cache: bool = False,
+                 compute_dtype=jnp.bfloat16):
         self.in_features = int(in_features)
         self.out_features = int(out_features)
         self.use_cache = bool(use_cache)
@@ -47,22 +48,40 @@ class Linear8bit(Module):
         self._weight_cache = None
 
     def forward(self, x):
-        """Weight-only INT8: dequantize W and matmul in compute_dtype.
+        """Weight-only INT8, fused: the int8 weight widens to compute dtype
+        *inside* the dot and the per-row scale applies on the output.
 
-        Matches the reference semantics (nn/linear8bit.py:91-102) — the
-        activations are NOT quantized here (that is OutlierAwareLinear's
-        job). XLA fuses the per-row scale into the GEMM epilogue; with
-        ``use_cache`` the dequantized weight is reused across calls.
+        Matches the reference semantics (nn/linear8bit.py:91-102 — the
+        activations are NOT quantized here; that is OutlierAwareLinear's
+        job) but takes the reference's *fused* K2 form
+        (csrc/mps_bitsandbytes.mm:203-305) rather than its Python
+        dequant-then-GEMM: XLA fuses the int8→bf16 convert and the rank-1
+        scale epilogue into the GEMM (kbench/probe2: ~750 GB/s on v5e), so
+        the dequantized weight never touches HBM. ``use_cache`` keeps the
+        reference's materialized-weight path available for API parity.
         """
+        import jax
         x = jnp.asarray(x)
-        weight = self._get_weight()
-        out = x.astype(weight.dtype) @ weight.T
+        if self.use_cache:
+            weight = self._get_weight()
+            out = x.astype(weight.dtype) @ weight.T
+            if self.bias is not None:
+                out = out + self.bias
+            return out
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1]).astype(self.compute_dtype)
+        out = jax.lax.dot_general(
+            x2, self.weight_int8.astype(self.compute_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        out = (out * (self.weight_scales[None, :] / 127.0)
+               ).astype(self.compute_dtype)
+        out = out.reshape(*lead, -1)
         if self.bias is not None:
             out = out + self.bias
         return out
 
     @classmethod
-    def from_linear(cls, linear, device=None, use_cache: bool = True,
+    def from_linear(cls, linear, device=None, use_cache: bool = False,
                     compute_dtype=None) -> "Linear8bit":
         weight = to_jnp(linear.weight)
         bias = getattr(linear, "bias", None)
