@@ -83,6 +83,96 @@ class TestTPDecode:
                                    np.asarray(logits_ref), atol=2e-3)
         assert np.all(np.asarray(cache2.lengths) == 1)
 
+    def test_tp_decode_dq_absmax_matches_single_device(self, tp_model, rng):
+        """Double-quantized absmax shards (per-row nested layout): TP decode
+        must reproduce the single-device decode on the same params."""
+        cfg, params = tp_model
+        qparams = llama.quantize_params(params, blocksize=32,
+                                        dtype=jnp.float32,
+                                        compress_statistics=True)
+        q = qparams["layers"][0]["q_proj"]
+        assert q.absmax is None and q.absmax_q is not None
+        mesh = make_mesh(tp=4, dp=2)
+        sharded = shard_params(qparams, mesh)
+        sq = sharded["layers"][0]["q_proj"]
+        assert sq.absmax_q.sharding.spec == P("tp", None)
+        assert sq.absmax_state.absmax.sharding.spec == P("tp")
+        sd = sharded["layers"][0]["down_proj"]
+        assert sd.absmax_q.sharding.spec == P(None, "tp")
+
+        batch = 4
+        cache = KVCache.create(cfg.num_layers, batch, 32, cfg.num_kv_heads,
+                               cfg.hd, quantized=False, dtype=jnp.float32)
+        cache = jax.device_put(
+            cache, jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), kv_cache_spec(cache),
+                is_leaf=lambda x: isinstance(x, P)))
+        step = make_tp_decode_step(mesh, sharded, cfg, cache)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch,)),
+                             dtype=jnp.int32)
+        active = jnp.ones((batch,), bool)
+        logits_tp, _ = step(sharded, cache, tokens, active)
+
+        from tpu_bitsandbytes.engine import decode_step
+        cache_ref = KVCache.create(cfg.num_layers, batch, 32,
+                                   cfg.num_kv_heads, cfg.hd, quantized=False,
+                                   dtype=jnp.float32)
+        logits_ref, _ = decode_step(qparams, cache_ref, tokens, active, cfg)
+        np.testing.assert_allclose(np.asarray(logits_tp),
+                                   np.asarray(logits_ref), atol=2e-3)
+
+    def test_tp_fused_projections_match_unfused(self, tp_model, rng):
+        """Shard-interleaved fused qkv/gateup layout: TP decode over the
+        fused params must match the single-device unfused decode."""
+        cfg, params = tp_model
+        q_unfused = llama.quantize_params(params, blocksize=32,
+                                          dtype=jnp.float32)
+        q_fused = llama.quantize_params(params, blocksize=32,
+                                        dtype=jnp.float32,
+                                        fuse_projections=True, tp=4)
+        assert "qkv_proj" in q_fused["layers"][0]
+        mesh = make_mesh(tp=4, dp=2)
+        sharded = shard_params(q_fused, mesh)
+        assert (sharded["layers"][0]["qkv_proj"].packed.sharding.spec
+                == P("tp", None))
+
+        batch = 4
+        cache = KVCache.create(cfg.num_layers, batch, 32, cfg.num_kv_heads,
+                               cfg.hd, quantized=False, dtype=jnp.float32)
+        cache = jax.device_put(
+            cache, jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), kv_cache_spec(cache),
+                is_leaf=lambda x: isinstance(x, P)))
+        step = make_tp_decode_step(mesh, sharded, cfg, cache)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch,)),
+                             dtype=jnp.int32)
+        active = jnp.ones((batch,), bool)
+        logits_tp, _ = step(sharded, cache, tokens, active)
+
+        from tpu_bitsandbytes.engine import decode_step
+        cache_ref = KVCache.create(cfg.num_layers, batch, 32,
+                                   cfg.num_kv_heads, cfg.hd, quantized=False,
+                                   dtype=jnp.float32)
+        logits_ref, _ = decode_step(q_unfused, cache_ref, tokens, active, cfg)
+        np.testing.assert_allclose(np.asarray(logits_tp),
+                                   np.asarray(logits_ref), atol=2e-3)
+
+    def test_interleave_rows_layout(self):
+        """Shard i of the interleaved fused weight == concat of shard i of
+        each constituent matrix."""
+        q = jnp.arange(8 * 3).reshape(8, 3) * 1.0
+        k = jnp.arange(4 * 3).reshape(4, 3) + 100.0
+        v = jnp.arange(4 * 3).reshape(4, 3) + 200.0
+        fused = llama._interleave_rows([q, k, v], tp=4)
+        rows_per = fused.shape[0] // 4
+        for i in range(4):
+            shard = fused[i * rows_per:(i + 1) * rows_per]
+            expect = jnp.concatenate([q[i * 2:(i + 1) * 2],
+                                      k[i * 1:(i + 1) * 1],
+                                      v[i * 1:(i + 1) * 1]], axis=0)
+            np.testing.assert_array_equal(np.asarray(shard),
+                                          np.asarray(expect))
+
     def test_multi_step_consistency(self, tp_model, rng):
         cfg, params = tp_model
         mesh = make_mesh(tp=4, dp=2)

@@ -210,7 +210,7 @@ class DecodeEngine:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel import (shard_params, kv_cache_spec,
-                                    make_tp_decode_step)
+                                    make_tp_decode_step, make_tp_prefill_step)
             dp = mesh.shape["dp"]
             if max_batch % dp != 0:
                 raise ValueError(f"max_batch {max_batch} must divide by "
@@ -222,9 +222,12 @@ class DecodeEngine:
                     is_leaf=lambda x: isinstance(x, P)))
             self._tp_decode = make_tp_decode_step(mesh, self.params, config,
                                                   cache)
+            self._tp_prefill = make_tp_prefill_step(mesh, self.params, config,
+                                                    cache)
         else:
             self.params = params
             self._tp_decode = None
+            self._tp_prefill = None
         self.cache = cache
         self.key = jax.random.PRNGKey(seed)
         self._uid = 0
@@ -259,10 +262,14 @@ class DecodeEngine:
             s_pad = _bucket(s, self.max_seq)
             toks = np.zeros((1, s_pad), np.int32)
             toks[0, :s] = req.prompt
-            prefill = prefill_step if self.mesh is None else prefill_step_spmd
-            last_logits, self.cache = prefill(
-                self.params, self.cache, jnp.asarray(toks),
-                jnp.int32(slot), jnp.int32(s), self.config)
+            if self._tp_prefill is not None:
+                last_logits, self.cache = self._tp_prefill(
+                    self.params, self.cache, jnp.asarray(toks),
+                    jnp.int32(slot), jnp.int32(s))
+            else:
+                last_logits, self.cache = prefill_step(
+                    self.params, self.cache, jnp.asarray(toks),
+                    jnp.int32(slot), jnp.int32(s), self.config)
             self.key, sub = jax.random.split(self.key)
             first = int(sample(last_logits[None, :], sub, req.params)[0])
             req.pending_first = first
@@ -389,12 +396,15 @@ class DecodeEngine:
                     lambda s: NamedSharding(self.mesh, s),
                     kv_cache_spec(scratch),
                     is_leaf=lambda x: isinstance(x, P)))
-        prefill = prefill_step if self.mesh is None else prefill_step_spmd
         for b in buckets:
             toks = jnp.zeros((1, b), jnp.int32)
-            _, scratch = prefill(self.params, scratch, toks,
-                                 jnp.int32(0), jnp.int32(min(b, 1)),
-                                 self.config)
+            if self._tp_prefill is not None:
+                _, scratch = self._tp_prefill(self.params, scratch, toks,
+                                              jnp.int32(0), jnp.int32(min(b, 1)))
+            else:
+                _, scratch = prefill_step(self.params, scratch, toks,
+                                          jnp.int32(0), jnp.int32(min(b, 1)),
+                                          self.config)
         if self._tp_decode is not None:
             logits, _ = self._tp_decode(
                 self.params, scratch, jnp.zeros((self.max_batch,), jnp.int32),

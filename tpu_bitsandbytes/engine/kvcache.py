@@ -77,31 +77,36 @@ class KVCache:
                      ).astype(jnp.int8)
         return q, absmax
 
-    def write_prefill(self, layer: int, slot, k_new, v_new, start: int = 0
-                      ) -> "KVCache":
+    def write_prefill(self, layer: int, slot, k_new, v_new, start: int = 0,
+                      own=None) -> "KVCache":
         """Write [S_p, H, D] k/v for one slot at positions [start, start+S_p).
 
-        ``slot`` may be traced. Returns the updated cache (functional).
+        ``slot`` may be traced. ``own`` (traced bool, optional) masks the
+        write: when False the existing contents are written back unchanged —
+        used by the dp-sharded TP prefill, where only the dp group owning the
+        slot may mutate its shard (parallel/tp.py). Masking happens on the
+        small [S_p, H, D] slice, not the full cache, so non-owners pay one
+        slice read instead of a whole-buffer select. Returns the updated
+        cache (functional).
         """
-        s_p = k_new.shape[0]
+        def upd(buf, new, idx):
+            if own is not None:
+                cur = jax.lax.dynamic_slice(buf, idx, new.shape)
+                new = jnp.where(own, new, cur)
+            return jax.lax.dynamic_update_slice(buf, new, idx)
+
         if self.quantized:
             kq, ks = self._quant(k_new)
             vq, vs = self._quant(v_new)
-            k = jax.lax.dynamic_update_slice(
-                self.k, kq[None, None], (layer, slot, start, 0, 0))
-            v = jax.lax.dynamic_update_slice(
-                self.v, vq[None, None], (layer, slot, start, 0, 0))
-            ksc = jax.lax.dynamic_update_slice(
-                self.k_scale, ks[None, None], (layer, slot, start, 0))
-            vsc = jax.lax.dynamic_update_slice(
-                self.v_scale, vs[None, None], (layer, slot, start, 0))
+            k = upd(self.k, kq[None, None], (layer, slot, start, 0, 0))
+            v = upd(self.v, vq[None, None], (layer, slot, start, 0, 0))
+            ksc = upd(self.k_scale, ks[None, None], (layer, slot, start, 0))
+            vsc = upd(self.v_scale, vs[None, None], (layer, slot, start, 0))
             return dataclasses.replace(self, k=k, v=v, k_scale=ksc, v_scale=vsc)
-        k = jax.lax.dynamic_update_slice(
-            self.k, k_new.astype(self.k.dtype)[None, None],
-            (layer, slot, start, 0, 0))
-        v = jax.lax.dynamic_update_slice(
-            self.v, v_new.astype(self.v.dtype)[None, None],
-            (layer, slot, start, 0, 0))
+        k = upd(self.k, k_new.astype(self.k.dtype)[None, None],
+                (layer, slot, start, 0, 0))
+        v = upd(self.v, v_new.astype(self.v.dtype)[None, None],
+                (layer, slot, start, 0, 0))
         return dataclasses.replace(self, k=k, v=v)
 
     def write_decode(self, layer: int, k_new, v_new, positions) -> "KVCache":

@@ -76,16 +76,23 @@ class QLinear4:
                  compress_statistics: bool = False) -> "QLinear4":
         n, k = w.shape
         packed_flat, state = quantize_4bit(
-            w, blocksize=blocksize, quant_type=quant_type,
-            compress_statistics=compress_statistics)
+            w, blocksize=blocksize, quant_type=quant_type)
         k2 = _pad_k(k, blocksize) // 2
         nb = _pad_k(k, blocksize) // blocksize
         if compress_statistics:
+            # Nested layout deviates from the flat blocksize-256 the
+            # functional API keeps for bnb parity (quantize_4bit;
+            # reference functional.py:244-259): here nested blocks align
+            # with weight rows (one int8 block + one fp32 scale per row), so
+            # the compressed scales shard exactly like ``absmax`` under TP —
+            # column shards slice rows of both, row shards slice absmax_q
+            # columns while the per-row nested scale stays valid elementwise.
+            absmax_q, st2 = quantize_blockwise(
+                state.absmax.reshape(n, nb), blocksize=nb)
             return cls(packed=packed_flat.reshape(n, k2), absmax=None,
                        shape=(n, k), blocksize=blocksize, quant_type=quant_type,
                        dtype=jnp.dtype(dtype), bias=bias,
-                       absmax_q=state.absmax.reshape(n, nb),
-                       absmax_state=state.state2)
+                       absmax_q=absmax_q, absmax_state=st2)
         return cls(packed=packed_flat.reshape(n, k2),
                    absmax=state.absmax.reshape(n, nb), shape=(n, k),
                    blocksize=blocksize, quant_type=quant_type,

@@ -112,11 +112,35 @@ def init_params(key: jax.Array, config: LlamaConfig,
     return params
 
 
+def _interleave_rows(mats, tp: int) -> jnp.ndarray:
+    """Concat [N_i, K] weights so dim-0 TP shards see per-matrix segments.
+
+    For tp=1 this is a plain concat (q;k;v). For tp=T the rows are laid out
+    (q_0;k_0;v_0; q_1;k_1;v_1; ...) where x_i is matrix x's i-th row shard —
+    so a column-parallel P("tp", None) shard of the fused weight holds
+    exactly (q_i;k_i;v_i), and the per-device split boundaries are the local
+    head counts (decode_layer/prefill_layer already split at n_heads/tp).
+    """
+    for m in mats:
+        if m.shape[0] % tp != 0:
+            raise ValueError(
+                f"fused projection rows {m.shape[0]} not divisible by tp={tp}")
+    if tp == 1:
+        return jnp.concatenate(mats, axis=0)
+    segs = []
+    for i in range(tp):
+        for m in mats:
+            n_t = m.shape[0] // tp
+            segs.append(m[i * n_t:(i + 1) * n_t])
+    return jnp.concatenate(segs, axis=0)
+
+
 def quantize_params(params: Params, blocksize: int = 64,
                     quant_type: str = "nf4", dtype=jnp.bfloat16,
                     compress_statistics: bool = False,
                     quantize_embed: bool = False,
-                    fuse_projections: bool = False) -> Params:
+                    fuse_projections: bool = False,
+                    tp: int = 1) -> Params:
     """Replace every linear projection with a :class:`QLinear4`.
 
     The engine-side equivalent of ``quantize_model`` surgery
@@ -124,8 +148,11 @@ def quantize_params(params: Params, blocksize: int = 64,
 
     ``fuse_projections``: concatenate q/k/v into one ``qkv_proj`` and
     gate/up into one ``gateup_proj`` (7 → 4 kernels per layer — a decode
-    latency win). Single-device layout: TP sharding requires the unfused
-    form (column shards would cut across the fused segments).
+    latency win). ``tp``: lay the fused rows out shard-interleaved for a
+    tp-way mesh (see :func:`_interleave_rows`) so the fused layout stays
+    TP-shardable; the layout is specific to that tp degree (tp=1 = plain
+    single-device concat). 4-bit blocks are per-row along K, so
+    interleaving rows does not change any quantized value.
     """
     out = dict(params)
     out["layers"] = []
@@ -140,10 +167,10 @@ def quantize_params(params: Params, blocksize: int = 64,
         if fuse_projections:
             for name in _LINEAR_NAMES:
                 ql.pop(name, None)
-            ql["qkv_proj"] = q(jnp.concatenate(
-                [layer["q_proj"], layer["k_proj"], layer["v_proj"]], axis=0))
-            ql["gateup_proj"] = q(jnp.concatenate(
-                [layer["gate_proj"], layer["up_proj"]], axis=0))
+            ql["qkv_proj"] = q(_interleave_rows(
+                [layer["q_proj"], layer["k_proj"], layer["v_proj"]], tp))
+            ql["gateup_proj"] = q(_interleave_rows(
+                [layer["gate_proj"], layer["up_proj"]], tp))
             ql["o_proj"] = q(layer["o_proj"])
             ql["down_proj"] = q(layer["down_proj"])
         else:
@@ -222,6 +249,49 @@ def _mlp_block(layer, x):
         gate = linear_apply(layer["gate_proj"], x)
         up = linear_apply(layer["up_proj"], x)
     return linear_apply(layer["down_proj"], jax.nn.silu(gate) * up)
+
+
+def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
+                  n_heads: int, n_kv: int,
+                  wrap=lambda w, row=False: w,
+                  reduce_fn=lambda t, w: t):
+    """One transformer layer of a causal prefill (no cache history).
+
+    The S>1 counterpart of :func:`decode_layer`, sharing its ``wrap`` /
+    ``reduce_fn`` TP hooks so tensor-parallel prefill (parallel/tp.py) runs
+    the same fused quantized matmuls on local shards. Returns
+    (x, (k, v)) with k/v [B, S, n_kv, D] post-RoPE for the KV-cache write.
+    """
+    b, s, _ = x.shape
+    hd = config.hd
+    h = rms_norm(x, layer["input_norm"], config.rms_eps)
+    if "qkv_proj" in layer:
+        qkv = linear_apply(wrap(layer["qkv_proj"]), h)
+        q, k, v = jnp.split(qkv, [n_heads * hd, (n_heads + n_kv) * hd],
+                            axis=-1)
+        q = q.reshape(b, s, n_heads, hd)
+        k = k.reshape(b, s, n_kv, hd)
+        v = v.reshape(b, s, n_kv, hd)
+    else:
+        q = linear_apply(wrap(layer["q_proj"]), h).reshape(b, s, n_heads, hd)
+        k = linear_apply(wrap(layer["k_proj"]), h).reshape(b, s, n_kv, hd)
+        v = linear_apply(wrap(layer["v_proj"]), h).reshape(b, s, n_kv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = gqa_attention(q, k, v)
+    o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, s, -1))
+    x = x + reduce_fn(o, layer["o_proj"])
+    h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)
+    if "gateup_proj" in layer:
+        gate, up = jnp.split(linear_apply(wrap(layer["gateup_proj"]), h), 2,
+                             axis=-1)
+    else:
+        gate = linear_apply(wrap(layer["gate_proj"]), h)
+        up = linear_apply(wrap(layer["up_proj"]), h)
+    d = linear_apply(wrap(layer["down_proj"], row=True),
+                     jax.nn.silu(gate) * up)
+    x = x + reduce_fn(d, layer["down_proj"])
+    return x, (k, v)
 
 
 def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,

@@ -11,6 +11,7 @@ kv-head axis over tp and its slot axis over dp.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict
 
 import jax
@@ -20,18 +21,31 @@ from ..models.layers import QLinear4
 from ..models import llama
 
 # column-parallel: shard N (dim 0). row-parallel: shard K (dim 1).
-_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+# Fused projections (models/llama.py quantize_params(fuse_projections=True,
+# tp=T)) are column-parallel too: their rows are laid out shard-interleaved
+# so a dim-0 shard holds exactly (q_i;k_i;v_i) / (gate_i;up_i).
+_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+        "qkv_proj", "gateup_proj")
 _ROW = ("o_proj", "down_proj")
 
 
 def _linear_spec(w, col: bool):
     """Spec mirroring the weight leaf structure (None fields stay None)."""
     if isinstance(w, QLinear4):
-        if w.absmax_state is not None:
-            raise NotImplementedError(
-                "TP sharding of double-quantized absmax is not supported yet; "
-                "quantize with compress_statistics=False for sharded params")
         two_d = P("tp", None) if col else P(None, "tp")
+        nested_spec = None
+        if w.absmax_state is not None:
+            # Per-row nested layout (QLinear4.quantize): absmax_q [N, nb]
+            # shards like absmax; its per-row fp32 scale shards with the
+            # rows for column-parallel and is replicated for row-parallel
+            # (elementwise dequant commutes with column slicing).
+            if w.absmax_state.blocksize != w.absmax_q.shape[1]:
+                raise NotImplementedError(
+                    "TP sharding needs the per-row nested absmax layout "
+                    "(QLinear4.quantize); flat blockwise nested states "
+                    "(quantize_4bit compress_statistics) are not shardable")
+            nested_spec = dataclasses.replace(
+                w.absmax_state, absmax=(P("tp") if col else P()))
         return QLinear4(
             packed=None if w.packed is None else two_d,
             absmax=None if w.absmax is None else two_d,
@@ -39,7 +53,7 @@ def _linear_spec(w, col: bool):
             dtype=w.dtype,
             bias=None if w.bias is None else (P("tp") if col else P()),
             absmax_q=None if w.absmax_q is None else two_d,
-            absmax_state=None,
+            absmax_state=nested_spec,
             # runtime exec cache shards like a dense [N, K] weight; the
             # per-row int8 scale is column-sharded with its rows and
             # replicated for row-parallel (it commutes with the K-psum)
@@ -57,11 +71,14 @@ def llama_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     }
     layer_specs = []
     for layer in params["layers"]:
-        ls = {"input_norm": P(), "post_attn_norm": P()}
-        for name in _COL:
-            ls[name] = _linear_spec(layer[name], col=True)
-        for name in _ROW:
-            ls[name] = _linear_spec(layer[name], col=False)
+        ls = {}
+        for name, w in layer.items():
+            if name in _COL:
+                ls[name] = _linear_spec(w, col=True)
+            elif name in _ROW:
+                ls[name] = _linear_spec(w, col=False)
+            else:
+                ls[name] = P()          # norms and other replicated leaves
         layer_specs.append(ls)
     specs["layers"] = layer_specs
     if "lm_head" in params:

@@ -38,7 +38,13 @@ def _localize(w, strip_bias: bool = False):
             n, k = w.packed.shape[0], 2 * w.packed.shape[1]
         else:
             n, k = w.w_cache.shape
-        return dataclasses.replace(w, shape=(n, k),
+        st = w.absmax_state
+        if st is not None:
+            # Per-row nested layout: blocksize tracks the local blocks/row
+            # (the per-row scale is exact on any column subset).
+            n_l, nb_l = w.absmax_q.shape
+            st = dataclasses.replace(st, shape=(n_l, nb_l), blocksize=nb_l)
+        return dataclasses.replace(w, shape=(n, k), absmax_state=st,
                                    bias=None if strip_bias else w.bias)
     return w
 
@@ -85,6 +91,87 @@ def _tp_decode_impl(params, cache: KVCache, tokens, active,
     cache = dataclasses.replace(
         cache, lengths=cache.lengths + active.astype(jnp.int32))
     return logits.astype(jnp.float32), cache
+
+
+def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
+                     config: llama.LlamaConfig, tp_axis: str = "tp",
+                     dp_axis: str = "dp"):
+    """Per-device prefill body (inside shard_map).
+
+    tokens [1, S_pad] replicated; every device runs the same forward on its
+    weight shards (fused Pallas kernels run on local shards — no GSPMD
+    custom-call limitation), and only the dp group owning ``slot`` commits
+    the KV write (masked at the slice level, see KVCache.write_prefill).
+    """
+    tp = jax.lax.psum(1, tp_axis)
+    n_heads = config.num_heads // tp
+    n_kv = config.num_kv_heads // tp
+    b, s = tokens.shape
+
+    slots_per = cache.lengths.shape[0]          # dp-local slot count
+    dp_idx = jax.lax.axis_index(dp_axis)
+    own = (slot // slots_per) == dp_idx
+    local_slot = slot % slots_per
+
+    positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    from ..models.layers import rope_table
+    cos_full, sin_full = rope_table(config.hd, config.max_seq_len,
+                                    config.rope_theta)
+    cos = jnp.take(cos_full, positions, axis=0)
+    sin = jnp.take(sin_full, positions, axis=0)
+    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+
+    def wrap(w, row=False):
+        return _localize(w, strip_bias=row)
+
+    def reduce_fn(partial, w):
+        full = jax.lax.psum(partial, tp_axis)
+        bias = _row_bias(w)
+        return full if bias is None else full + bias.astype(full.dtype)
+
+    for li, layer in enumerate(params["layers"]):
+        x, (k, v) = llama.prefill_layer(
+            layer, x, cos, sin, config, n_heads=n_heads, n_kv=n_kv,
+            wrap=wrap, reduce_fn=reduce_fn)
+        cache = cache.write_prefill(li, local_slot, k[0], v[0], 0, own=own)
+
+    cur = cache.lengths[local_slot]
+    cache = dataclasses.replace(
+        cache, lengths=cache.lengths.at[local_slot].set(
+            jnp.where(own, true_len, cur)))
+
+    x = rms_norm(x, params["final_norm"], config.rms_eps)
+    # last real token only: [1, H] through the head instead of all S_pad rows
+    x_last = jnp.take_along_axis(
+        x[0], (true_len - 1)[None, None], axis=0)
+    head = params.get("lm_head", None)
+    if head is None:
+        logits = x_last @ params["embed"].T.astype(x_last.dtype)
+    else:
+        local = linear_apply(_localize(head), x_last)   # [1, V/tp]
+        logits = jax.lax.all_gather(local, tp_axis, axis=1, tiled=True)
+    return logits[0].astype(jnp.float32), cache
+
+
+def make_tp_prefill_step(mesh: Mesh, params, config: llama.LlamaConfig,
+                         cache: KVCache):
+    """Build the jitted shard_map'ed prefill for sharded params/cache.
+
+    Unlike the GSPMD prefill (engine.prefill_step_spmd), the fused Pallas
+    dequant-matmul stays enabled: inside shard_map every kernel call sees
+    plain local arrays (VERDICT r1: mesh prefill materialized dequantized
+    weights). Recompiles per S_pad bucket like the single-device prefill.
+    """
+    pspecs = llama_param_specs(params)
+    cspec = kv_cache_spec(cache)
+    fn = shard_map(
+        partial(_tp_prefill_impl, config=config),
+        mesh=mesh,
+        in_specs=(pspecs, cspec, P(None, None), P(), P()),
+        out_specs=(P(), cspec),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(1,))
 
 
 def make_tp_decode_step(mesh: Mesh, params, config: llama.LlamaConfig,
