@@ -21,13 +21,15 @@ Writes the numbers SCALING.md reports. Run:
 """
 
 import argparse
-import dataclasses
 import json
+import os
 import re
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 HBM_BW = 819e9      # v5e HBM, bytes/s
@@ -139,8 +141,11 @@ def tpu_mode(args):
     from tpu_bitsandbytes.parallel import (
         make_mesh, shard_params, kv_cache_spec, make_tp_decode_step)
 
-    cfg = llama.LlamaConfig(hidden_size=2048, intermediate_size=5504,
-                            num_layers=16, num_heads=16, num_kv_heads=16)
+    # big enough for stable step times, small enough to quantize on-chip
+    # through the tunnel in seconds
+    cfg = llama.LlamaConfig(vocab_size=8192, hidden_size=1024,
+                            intermediate_size=2816, num_layers=4,
+                            num_heads=8, num_kv_heads=8)
     params = llama.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     q = llama.quantize_params(params, dtype=jnp.bfloat16)
     q = llama.build_runtime_cache(q, "int8")
