@@ -41,7 +41,7 @@ HBM_BW = 819e9  # TPU v5e HBM bandwidth, bytes/s
 
 
 def random_qlinear(key, n, k, blocksize=64, dtype=jnp.bfloat16,
-                   runtime_cache=None):
+                   runtime_cache=None, drop_packed=False):
     kp = _pad_k(k, blocksize)
     k1, k2 = jax.random.split(key)
     packed = jax.random.randint(k1, (n, kp // 2), 0, 256, jnp.int32
@@ -51,12 +51,12 @@ def random_qlinear(key, n, k, blocksize=64, dtype=jnp.bfloat16,
     q = QLinear4(packed=packed, absmax=absmax, shape=(n, k),
                  blocksize=blocksize, quant_type="nf4", dtype=dtype)
     if runtime_cache:
-        q = q.with_runtime_cache(runtime_cache)
+        q = q.with_runtime_cache(runtime_cache, drop_packed=drop_packed)
     return q
 
 
 def random_quantized_params(config, blocksize=64, fuse_projections=True,
-                            runtime_cache=None):
+                            runtime_cache=None, drop_packed=False):
     """Fused qkv/gateup layout by default (4 kernels/layer, decode win)."""
     h, hd = config.hidden_size, config.hd
     n_q = config.num_heads * hd
@@ -81,7 +81,8 @@ def random_quantized_params(config, blocksize=64, fuse_projections=True,
     for li in range(config.num_layers):
         key, *lk = jax.random.split(key, len(shapes) + 1)
         layer = {name: random_qlinear(lk[i], *shapes[name], blocksize,
-                                      config.dtype, runtime_cache)
+                                      config.dtype, runtime_cache,
+                                      drop_packed)
                  for i, name in enumerate(shapes)}
         layer["input_norm"] = jnp.ones((h,), config.dtype)
         layer["post_attn_norm"] = jnp.ones((h,), config.dtype)
@@ -93,7 +94,7 @@ def random_quantized_params(config, blocksize=64, fuse_projections=True,
         "layers": layers,
         "final_norm": jnp.ones((h,), config.dtype),
         "lm_head": random_qlinear(k2, config.vocab_size, h, blocksize,
-                                  config.dtype, runtime_cache),
+                                  config.dtype, runtime_cache, drop_packed),
     }
 
 
@@ -151,6 +152,10 @@ def main():
     ap.add_argument("--runtime-cache", default="int8",
                     choices=["int8", "bf16", "none"],
                     help="execution format for the NF4 weights")
+    ap.add_argument("--drop-packed", action="store_true",
+                    help="serving mode: free the packed NF4 codes after "
+                         "building the runtime cache (HBM headroom for "
+                         "long-context KV)")
     args = ap.parse_args()
 
     if args.model == "7b":
@@ -165,9 +170,11 @@ def main():
     cache_fmt = None if args.runtime_cache == "none" else args.runtime_cache
     print(f"building random NF4 {args.model} params "
           f"(runtime cache: {args.runtime_cache})...", file=sys.stderr)
-    params = random_quantized_params(config, runtime_cache=cache_fmt)
-    first = params["layers"][0]
-    jax.block_until_ready(first.get("qkv_proj", first.get("q_proj")).packed)
+    params = random_quantized_params(config, runtime_cache=cache_fmt,
+                                     drop_packed=args.drop_packed)
+    first = params["layers"][0].get("qkv_proj") or params["layers"][0]["q_proj"]
+    jax.block_until_ready(first.packed if first.packed is not None
+                          else first.w_cache)
     print(describe_path(params), file=sys.stderr)
 
     cache = KVCache.create(config.num_layers, args.batch, args.max_seq,

@@ -137,6 +137,40 @@ def check_kv_cache(rng):
     return 0
 
 
+def check_scale_folded_attention(rng):
+    """Compiled scale-folded int8 attention vs dequant-then-attend (f32)."""
+    from tpu_bitsandbytes.engine import KVCache
+    from tpu_bitsandbytes.models.layers import (
+        gqa_attention, gqa_attention_kv_quant)
+
+    b, t, h, h_kv, d = 2, 24, 8, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.bfloat16)
+    cache = KVCache.create(1, b, t, h_kv, d, quantized=True,
+                           dtype=jnp.bfloat16)
+    for slot in range(b):
+        kv = jnp.asarray(rng.standard_normal((t, h_kv, d)), jnp.float32)
+        cache = cache.write_prefill(0, jnp.int32(slot), kv, kv * 0.5)
+    offs = jnp.full((b, 1), t - 1, jnp.int32)
+
+    def folded(cache, q):
+        kq, ks, vq, vs = cache.read_raw(0)
+        return gqa_attention_kv_quant(q, kq, ks, vq, vs, causal_offset=offs)
+
+    def deq(cache, q):
+        k_all, v_all = cache.read(0)
+        return gqa_attention(q, k_all.astype(jnp.float32),
+                             v_all.astype(jnp.float32),
+                             causal_offset=offs)
+
+    got = np.asarray(jax.jit(folded)(cache, q), np.float32)
+    ref = np.asarray(jax.jit(deq)(cache, q.astype(jnp.float32)), np.float32)
+    diff = np.abs(got - ref).max()
+    if diff >= 0.05:
+        return _fail(f"scale-folded attention: max diff {diff:.4f} >= 0.05")
+    print(f"ok   scale-folded int8 attention: max diff {diff:.5f}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -180,6 +214,7 @@ def main(argv=None) -> int:
         failures += check_quantize_roundtrip(512, 4096, 128, "nf4", rng)
     failures += check_runtime_cache(256, 512, rng)
     failures += check_kv_cache(rng)
+    failures += check_scale_folded_attention(rng)
 
     dt = time.time() - t0
     if failures:

@@ -19,6 +19,99 @@ def tiny_model():
     return cfg, params
 
 
+class TestScaleFoldedAttention:
+    def test_matches_dequant_attention(self, rng):
+        """gqa_attention_kv_quant (no dequant materialization, bf16 MXU
+        contractions) must match dequant-then-attend within bf16 rounding."""
+        from tpu_bitsandbytes.models.layers import (
+            gqa_attention, gqa_attention_kv_quant)
+        b, s, t, h, h_kv, d = 2, 1, 24, 8, 4, 32
+        q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+        k = rng.standard_normal((b, t, h_kv, d)).astype(np.float32)
+        v = rng.standard_normal((b, t, h_kv, d)).astype(np.float32)
+        cache = KVCache.create(1, b, t, h_kv, d, quantized=True,
+                               dtype=jnp.bfloat16)
+        for slot in range(b):
+            cache = cache.write_prefill(0, jnp.int32(slot),
+                                        jnp.asarray(k[slot]),
+                                        jnp.asarray(v[slot]))
+        offs = jnp.full((b, s), t - 1, jnp.int32)
+        k_deq, v_deq = cache.read(0)
+        ref = gqa_attention(q, k_deq, v_deq, causal_offset=offs)
+        kq, ks, vq, vs = cache.read_raw(0)
+        out = gqa_attention_kv_quant(q, kq, ks, vq, vs, causal_offset=offs)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=0.03, rtol=0.03)
+
+    def test_decode_bf16_quantized_kv_close_to_fp(self, rng):
+        """End-to-end: bf16 decode_step (which takes the scale-folded path)
+        vs the same model with an unquantized cache."""
+        cfg = llama.LlamaConfig.tiny()  # bf16 compute dtype
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        b = 2
+        steps = rng.integers(0, cfg.vocab_size, (4, b))
+        out = {}
+        for quant in (False, True):
+            cache = KVCache.create(cfg.num_layers, b, 32, cfg.num_kv_heads,
+                                   cfg.hd, quantized=quant, dtype=cfg.dtype)
+            active = jnp.ones((b,), bool)
+            logits = None
+            for i in range(4):   # teacher-forced: same tokens both runs
+                toks = jnp.asarray(steps[i], jnp.int32)
+                logits, cache = decode_step(params, cache, toks, active, cfg)
+            out[quant] = np.asarray(logits, np.float32)
+        # int8 KV + scale-folded attention stays close to the fp cache
+        ref, got = out[False], out[True]
+        cos = (ref * got).sum() / (np.linalg.norm(ref) * np.linalg.norm(got))
+        assert cos > 0.99, cos
+
+
+class TestSnapshotRestart:
+    def test_restart_is_token_deterministic(self, tiny_model, rng, tmp_path):
+        """save_state mid-run, keep decoding -> restore into a FRESH engine
+        and decode again: both must emit identical tokens (stochastic
+        sampling included — the RNG key is part of the snapshot)."""
+        cfg, params = tiny_model
+        prompts = [list(rng.integers(0, cfg.vocab_size, 5)) for _ in range(4)]
+        sp = SamplingParams(max_new_tokens=12, temperature=0.8, top_k=20)
+
+        eng = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                           quantized_kv=True, seed=7, steps_per_sync=2)
+        for p in prompts:
+            eng.add_request(p, sp)
+        for _ in range(3):          # mid-flight: some active, some waiting
+            eng.step()
+        snap = str(tmp_path / "engine_state.npz")
+        eng.save_state(snap)
+
+        while eng.step():
+            pass
+        ref = {r.uid: list(r.generated) for r in eng.finished}
+
+        eng2 = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                            quantized_kv=True, seed=999, steps_per_sync=2)
+        eng2.load_state(snap)
+        while eng2.step():
+            pass
+        got = {r.uid: list(r.generated) for r in eng2.finished}
+        assert got == ref
+
+    def test_save_restores_waiting_queue(self, tiny_model, tmp_path):
+        cfg, params = tiny_model
+        eng = DecodeEngine(params, cfg, max_batch=1, max_seq=64)
+        eng.add_request([1, 2, 3], SamplingParams(max_new_tokens=2))
+        eng.add_request([4, 5], SamplingParams(max_new_tokens=2))
+        snap = str(tmp_path / "s.npz")
+        eng.save_state(snap)
+        eng2 = DecodeEngine(params, cfg, max_batch=1, max_seq=64)
+        eng2.load_state(snap)
+        assert [r.uid for r in eng2.waiting] == [r.uid for r in eng.waiting]
+        while eng2.step():
+            pass
+        assert len(eng2.finished) == 2
+
+
 class TestKVCache:
     def test_quantized_roundtrip(self, rng):
         cache = KVCache.create(2, 2, 16, 2, 32, quantized=True,

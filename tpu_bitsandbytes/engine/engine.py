@@ -415,6 +415,73 @@ class DecodeEngine:
                 jnp.ones((self.max_batch,), bool), self.config)
         jax.block_until_ready(logits)
 
+    # -- failure recovery: deterministic snapshot / restart ---------------
+    def save_state(self, path: str) -> None:
+        """Snapshot everything needed for a deterministic restart: KV cache,
+        RNG key, and full request bookkeeping (SURVEY §5 failure/restart;
+        the reference has no engine, so no analogue exists there). Params
+        are NOT included — re-load them from their own checkpoint; a
+        restored engine continues emitting exactly the tokens the original
+        would have (tests/test_engine.py::TestSnapshotRestart).
+        """
+        from ..utils.checkpoint import save_checkpoint
+
+        def enc_req(r: Request) -> dict:
+            return {"uid": r.uid, "prompt": list(r.prompt),
+                    "sampling": dataclasses.asdict(r.params),
+                    "generated": list(r.generated), "slot": r.slot,
+                    "done": r.done, "pending_first": r.pending_first}
+
+        save_checkpoint(path, {
+            "cache": {"k": self.cache.k, "v": self.cache.v,
+                      "k_scale": self.cache.k_scale,
+                      "v_scale": self.cache.v_scale,
+                      "lengths": self.cache.lengths,
+                      "quantized": self.cache.quantized,
+                      "dtype": jnp.dtype(self.cache.dtype).name},
+            "key": self.key, "uid": self._uid,
+            "waiting": [enc_req(r) for r in self.waiting],
+            "active": {str(s): enc_req(r) for s, r in self.active.items()},
+            "finished": [enc_req(r) for r in self.finished],
+        })
+
+    def load_state(self, path: str) -> None:
+        """Restore a :meth:`save_state` snapshot into this engine (same
+        model/config/mesh). Decoding resumes token-identically."""
+        from ..utils.checkpoint import load_checkpoint
+
+        def dec_req(d: dict) -> Request:
+            return Request(uid=int(d["uid"]), prompt=list(d["prompt"]),
+                           params=SamplingParams(**d["sampling"]),
+                           generated=list(d["generated"]), slot=d["slot"],
+                           done=bool(d["done"]),
+                           pending_first=d["pending_first"])
+
+        st = load_checkpoint(path)
+        c = st["cache"]
+        cache = KVCache(k=jnp.asarray(c["k"]), v=jnp.asarray(c["v"]),
+                        k_scale=None if c["k_scale"] is None
+                        else jnp.asarray(c["k_scale"]),
+                        v_scale=None if c["v_scale"] is None
+                        else jnp.asarray(c["v_scale"]),
+                        lengths=jnp.asarray(c["lengths"]),
+                        quantized=bool(c["quantized"]),
+                        dtype=jnp.dtype(c["dtype"]))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel import kv_cache_spec
+            cache = jax.device_put(
+                cache, jax.tree_util.tree_map(
+                    lambda s: NamedSharding(self.mesh, s),
+                    kv_cache_spec(cache),
+                    is_leaf=lambda x: isinstance(x, P)))
+        self.cache = cache
+        self.key = jnp.asarray(st["key"])
+        self._uid = int(st["uid"])
+        self.waiting = [dec_req(d) for d in st["waiting"]]
+        self.active = {int(s): dec_req(d) for s, d in st["active"].items()}
+        self.finished = [dec_req(d) for d in st["finished"]]
+
     # -- convenience ------------------------------------------------------
     def generate(self, prompts: List[List[int]],
                  sampling: Optional[SamplingParams] = None

@@ -152,6 +152,19 @@ class KVCache:
             return k, v
         return self.k[layer, :, sl], self.v[layer, :, sl]
 
+    def read_raw(self, layer: int, span: Optional[int] = None):
+        """Raw codes + scales for a layer: (k, k_scale, v, v_scale), each
+        sliced to the first ``span`` positions. For a quantized cache this
+        is the zero-copy input to the scale-folded attention
+        (models.layers.gqa_attention_kv_quant) — no dequantized tensor is
+        ever materialized. Scales are None when not quantized.
+        """
+        sl = slice(None) if span is None else slice(0, span)
+        if self.quantized:
+            return (self.k[layer, :, sl], self.k_scale[layer, :, sl],
+                    self.v[layer, :, sl], self.v_scale[layer, :, sl])
+        return self.k[layer, :, sl], None, self.v[layer, :, sl], None
+
     def reset_slot(self, slot: int) -> "KVCache":
         return dataclasses.replace(
             self, lengths=self.lengths.at[slot].set(0))

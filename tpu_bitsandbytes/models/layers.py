@@ -248,12 +248,26 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
 # --- attention --------------------------------------------------------------
 
 
+def _causal_mask(s, t, causal_offset):
+    if causal_offset is None:
+        qpos = jnp.arange(s)[:, None]
+        kpos = jnp.arange(t)[None, :]
+        return (kpos <= qpos)[None, None, None, :, :]       # [1,1,1,S,T]
+    kpos = jnp.arange(t)[None, None, :]
+    mask = (kpos <= causal_offset[:, :, None])              # [B, S, T]
+    return mask[:, None, None, :, :]                        # [B,1,1,S,T]
+
+
 def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None):
     """Grouped-query attention over full K/V.
 
     q: [B, S, H, D]; k/v: [B, T, H_kv, D]. Returns [B, S, H, D].
     ``causal_offset``: positions of q within the T axis (int array [B, S] or
     None for aligned prefill where S == T).
+
+    Half-precision inputs contract in their own dtype with f32 accumulation
+    (native bf16 MXU passes; an f32 upcast would run the 6-pass MXU
+    emulation — KERNEL_NOTES round-1); f32 inputs keep the exact f32 path.
     """
     b, s, h, d = q.shape
     t = k.shape[1]
@@ -261,19 +275,58 @@ def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None):
     rep = h // h_kv
     if scale is None:
         scale = 1.0 / np.sqrt(d)
+    half = q.dtype in (jnp.bfloat16, jnp.float16)
     qg = q.reshape(b, s, h_kv, rep, d)
-    logits = jnp.einsum("bshrd,bthd->bhrst", qg.astype(jnp.float32),
-                        k.astype(jnp.float32)) * scale
+    qc, kc = (qg, k.astype(q.dtype)) if half else (qg.astype(jnp.float32),
+                                                   k.astype(jnp.float32))
+    logits = jnp.einsum("bshrd,bthd->bhrst", qc, kc,
+                        preferred_element_type=jnp.float32) * scale
     if mask is None:
-        if causal_offset is None:
-            qpos = jnp.arange(s)[:, None]
-            kpos = jnp.arange(t)[None, :]
-            mask = (kpos <= qpos)[None, None, None, :, :]   # [1,1,1,S,T]
-        else:
-            kpos = jnp.arange(t)[None, None, :]
-            mask = (kpos <= causal_offset[:, :, None])      # [B, S, T]
-            mask = mask[:, None, None, :, :]                # [B,1,1,S,T]
+        mask = _causal_mask(s, t, causal_offset)
     logits = jnp.where(mask, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhrst,bthd->bshrd", probs, v.astype(jnp.float32))
+    pc, vc = (probs.astype(q.dtype), v.astype(q.dtype)) if half else (
+        probs, v.astype(jnp.float32))
+    out = jnp.einsum("bhrst,bthd->bshrd", pc, vc,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, s, h, d).astype(q.dtype)
+
+
+def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
+                           causal_offset=None, scale=None):
+    """GQA directly over int8 KV codes (decode fast path).
+
+    q: [B, S, H, D]; k_q/v_q: int8 [B, T, H_kv, D]; k_scale/v_scale: f32
+    [B, T, H_kv] per-(token, head) absmax scales (engine/kvcache.py _quant).
+
+    The dequantized K/V are never materialized: ``k_scale`` indexes the
+    logits' *output* axis t, so it folds into the logits after the QK^T
+    contraction; ``v_scale`` indexes the PV contraction axis, so it folds
+    into the probabilities before the PV contraction. Both einsums then run
+    as int8→bf16 convert+dot (MXU-ingest-fused by XLA, same mechanism as
+    the int8 runtime weight cache) with f32 accumulation. int8 codes are
+    exact in bf16, so the only precision loss vs dequant-first is rounding
+    softmax probabilities to bf16 — with f32 accumulation this is the
+    standard flash-attention arrangement.
+    """
+    b, s, h, d = q.shape
+    t = k_q.shape[1]
+    h_kv = k_q.shape[2]
+    rep = h // h_kv
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    cd = q.dtype if q.dtype in (jnp.bfloat16, jnp.float16) else jnp.bfloat16
+    qg = q.reshape(b, s, h_kv, rep, d).astype(cd)
+    logits = jnp.einsum("bshrd,bthd->bhrst", qg, k_q.astype(cd),
+                        preferred_element_type=jnp.float32)
+    # k_scale [B,T,H_kv] -> [B,H_kv,1,1,T] on the logits' output axis
+    ks = (k_scale.transpose(0, 2, 1) * (scale / 127.0))[:, :, None, None, :]
+    logits = logits * ks
+    logits = jnp.where(_causal_mask(s, t, causal_offset), logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # v_scale folds on the contraction axis t, before the PV product
+    vs = (v_scale.transpose(0, 2, 1) / 127.0)[:, :, None, None, :]
+    pv = (probs * vs).astype(cd)
+    out = jnp.einsum("bhrst,bthd->bshrd", pv, v_q.astype(cd),
+                     preferred_element_type=jnp.float32)
     return out.reshape(b, s, h, d).astype(q.dtype)

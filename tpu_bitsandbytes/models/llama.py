@@ -21,6 +21,7 @@ from .layers import (
     QLinear4,
     apply_rope,
     gqa_attention,
+    gqa_attention_kv_quant,
     linear_apply,
     rms_norm,
     rope_table,
@@ -367,8 +368,17 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     cache = cache.write_decode(li, k, v, positions)
-    k_all, v_all = cache.read(li, attn_span)
-    attn = gqa_attention(q, k_all, v_all, causal_offset=positions[:, None])
+    if cache.quantized and jnp.dtype(config.dtype) in (jnp.bfloat16,
+                                                       jnp.float16):
+        # scale-folded int8 attention: no dequantized K/V materialization,
+        # bf16 MXU contractions (see gqa_attention_kv_quant)
+        kq, ks, vq, vs = cache.read_raw(li, attn_span)
+        attn = gqa_attention_kv_quant(q, kq, ks, vq, vs,
+                                      causal_offset=positions[:, None])
+    else:
+        k_all, v_all = cache.read(li, attn_span)
+        attn = gqa_attention(q, k_all, v_all,
+                             causal_offset=positions[:, None])
     o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, 1, -1))
     x = x + reduce_fn(o, layer["o_proj"])
     h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)
