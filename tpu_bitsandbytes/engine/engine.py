@@ -186,7 +186,8 @@ class DecodeEngine:
     def __init__(self, params, config: llama.LlamaConfig, *,
                  max_batch: int = 8, max_seq: Optional[int] = None,
                  quantized_kv: bool = True, seed: int = 0, mesh=None,
-                 steps_per_sync: int = 8, runtime_cache: Optional[str] = None):
+                 steps_per_sync: int = 8, runtime_cache: Optional[str] = None,
+                 speculative: Optional[str] = None, spec_gamma: int = 4):
         """``mesh``: a (dp, tp) Mesh for multi-chip serving. Params are
         tp/dp-sharded (column/row-parallel packed weights, head-sharded KV
         cache); decode runs the shard_map TP step, prefill runs under GSPMD.
@@ -196,12 +197,21 @@ class DecodeEngine:
         device runs that many steps in one jitted chunk; admission of queued
         requests happens between chunks). 1 restores per-token stepping.
         ``runtime_cache``: "int8"/"bf16" builds the execution cache on the
-        quantized params (see models.llama.build_runtime_cache)."""
+        quantized params (see models.llama.build_runtime_cache).
+        ``speculative``: "ngram" enables prompt-lookup speculative decoding
+        (engine/speculative.py) for all-greedy batches on single-device
+        meshes; output stays token-identical to plain greedy decoding.
+        ``spec_gamma``: drafts proposed per verify step."""
         self.config = config
         self.max_batch = max_batch
         self.max_seq = max_seq or config.max_seq_len
         self.mesh = mesh
         self.steps_per_sync = max(1, int(steps_per_sync))
+        if speculative not in (None, "ngram"):
+            raise ValueError(f"unknown speculative mode: {speculative!r}")
+        self.speculative = speculative
+        self.spec_gamma = int(spec_gamma)
+        self.spec_stats = {"verify_steps": 0, "drafted": 0, "accepted": 0}
         if runtime_cache:
             params = llama.build_runtime_cache(params, runtime_cache)
         cache = KVCache.create(
@@ -350,6 +360,28 @@ class DecodeEngine:
             self.metrics.record(emitted, _time.perf_counter() - t0)
             return bool(self.waiting or self.active)
 
+        # speculative path: one verify step scores gamma drafts + 1 bonus
+        # token per slot in a single forward (greedy-exact; engine falls
+        # back to chunked decode when any slot samples stochastically or
+        # the batch is out of sequence headroom)
+        longest = max(len(r.prompt) + len(r.generated)
+                      for r in self.active.values())
+        if (self.speculative == "ngram" and all_greedy
+                and longest + self.spec_gamma + 1 < self.max_seq - 1):
+            emitted, counts = self._speculative_step(tokens, active_mask)
+            n_emit = 0
+            for slot in list(self.active.keys()):
+                if not active_mask[slot]:
+                    continue
+                for j in range(int(counts[slot])):
+                    req = self.active.get(slot)
+                    if req is None:
+                        break
+                    self._collect(slot, req, int(emitted[slot, j]))
+                    n_emit += 1
+            self.metrics.record(n_emit, _time.perf_counter() - t0)
+            return bool(self.waiting or self.active)
+
         # single-device path: n steps per host sync, sampling on device
         samp = SamplingArrays.build(
             {s: r.params for s, r in self.active.items()}, self.max_batch)
@@ -371,6 +403,34 @@ class DecodeEngine:
                 emitted += 1
         self.metrics.record(emitted, _time.perf_counter() - t0)
         return bool(self.waiting or self.active)
+
+    def _speculative_step(self, tokens, active_mask):
+        """One prompt-lookup verify: propose drafts per slot on the host,
+        score them in a single jitted forward, return (emitted, counts)."""
+        from .speculative import propose_ngram, verify_step
+        g = self.spec_gamma
+        drafts = np.zeros((self.max_batch, g), np.int32)
+        for slot, req in self.active.items():
+            hist = req.prompt + req.generated
+            prop = propose_ngram(hist, g)
+            # pad with self-repeats: cheap to reject, keeps shapes static
+            # (padding counts as drafted — it is fed to the verifier and
+            # can be accepted, so accepted <= drafted holds)
+            self.spec_stats["drafted"] += g
+            drafts[slot] = prop + [hist[-1]] * (g - len(prop))
+        toks = np.concatenate([tokens[:, None], drafts], axis=1)
+        longest = max(len(r.prompt) + len(r.generated)
+                      for r in self.active.values())
+        need = longest + g + 1
+        span = min(self.max_seq, max(128, -(-need // 128) * 128))
+        emitted, counts, self.cache = verify_step(
+            self.params, self.cache, jnp.asarray(toks.astype(np.int32)),
+            jnp.asarray(active_mask), self.config, attn_span=span)
+        emitted = np.asarray(emitted)
+        counts = np.asarray(counts)
+        self.spec_stats["verify_steps"] += 1
+        self.spec_stats["accepted"] += int(np.clip(counts - 1, 0, None).sum())
+        return emitted, counts
 
     def warmup(self, prompt_lengths: Optional[List[int]] = None) -> None:
         """Pre-compile the decode step and prefill buckets (serving helper).
@@ -494,10 +554,13 @@ class DecodeEngine:
 
     @property
     def stats(self) -> dict:
-        return {
+        out = {
             "active": len(self.active),
             "waiting": len(self.waiting),
             "finished": len(self.finished),
             "kv_bytes_per_token": self.cache.bytes_per_token(),
             **self.metrics.summary(),
         }
+        if self.speculative:
+            out["speculative"] = dict(self.spec_stats)
+        return out

@@ -110,21 +110,28 @@ class KVCache:
         return dataclasses.replace(self, k=k, v=v)
 
     def write_decode(self, layer: int, k_new, v_new, positions) -> "KVCache":
-        """Write one token per slot: k_new [B, 1, H, D], positions [B]."""
+        """Scatter per-slot tokens: k_new/v_new [B, S, H, D] written at
+        ``positions`` [B, S] (or the single-token case [B, 1, H, D] with
+        positions [B]). S > 1 is the speculative verify step — draft tokens
+        write their KV up front; rejected positions hold stale entries that
+        the causal mask keeps unattended until they are overwritten (the
+        same contract as prefill's padding garbage)."""
         b = self.batch
-        batch_idx = jnp.arange(b)
+        if positions.ndim == 1:
+            positions = positions[:, None]
+        batch_idx = jnp.arange(b)[:, None]
         if self.quantized:
-            kq, ks = self._quant(k_new[:, 0])
-            vq, vs = self._quant(v_new[:, 0])
+            kq, ks = self._quant(k_new)
+            vq, vs = self._quant(v_new)
             k = self.k.at[layer, batch_idx, positions].set(kq)
             v = self.v.at[layer, batch_idx, positions].set(vq)
             ksc = self.k_scale.at[layer, batch_idx, positions].set(ks)
             vsc = self.v_scale.at[layer, batch_idx, positions].set(vs)
             return dataclasses.replace(self, k=k, v=v, k_scale=ksc, v_scale=vsc)
         k = self.k.at[layer, batch_idx, positions].set(
-            k_new[:, 0].astype(self.k.dtype))
+            k_new.astype(self.k.dtype))
         v = self.v.at[layer, batch_idx, positions].set(
-            v_new[:, 0].astype(self.v.dtype))
+            v_new.astype(self.v.dtype))
         return dataclasses.replace(self, k=k, v=v)
 
     def read(self, layer: int, span: Optional[int] = None

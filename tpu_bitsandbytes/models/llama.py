@@ -349,37 +349,40 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
     ``reduce_fn(partial, weight)`` reduces row-parallel partials (psum) and
     re-applies their bias once. ``attn_span`` (static) bounds the KV read to
     the first ``attn_span`` positions so attention cost tracks actual
-    lengths, not ``max_seq`` (see KVCache.read). Returns (x, cache).
+    lengths, not ``max_seq`` (see KVCache.read). ``x`` may carry S > 1
+    tokens per slot (speculative verify step) with per-token ``positions``
+    [B, S]; the KV for all S tokens is written up front and the causal mask
+    keeps each query from seeing later (or stale rejected) entries.
+    Returns (x, cache).
     """
-    b = x.shape[0]
+    b, s, _ = x.shape
+    pos2d = positions if positions.ndim == 2 else positions[:, None]
     hd = config.hd
     h = rms_norm(x, layer["input_norm"], config.rms_eps)
     if "qkv_proj" in layer:
         qkv = linear_apply(wrap(layer["qkv_proj"]), h)
         q, k, v = jnp.split(qkv, [n_heads * hd, (n_heads + n_kv) * hd],
                             axis=-1)
-        q = q.reshape(b, 1, n_heads, hd)
-        k = k.reshape(b, 1, n_kv, hd)
-        v = v.reshape(b, 1, n_kv, hd)
+        q = q.reshape(b, s, n_heads, hd)
+        k = k.reshape(b, s, n_kv, hd)
+        v = v.reshape(b, s, n_kv, hd)
     else:
-        q = linear_apply(wrap(layer["q_proj"]), h).reshape(b, 1, n_heads, hd)
-        k = linear_apply(wrap(layer["k_proj"]), h).reshape(b, 1, n_kv, hd)
-        v = linear_apply(wrap(layer["v_proj"]), h).reshape(b, 1, n_kv, hd)
+        q = linear_apply(wrap(layer["q_proj"]), h).reshape(b, s, n_heads, hd)
+        k = linear_apply(wrap(layer["k_proj"]), h).reshape(b, s, n_kv, hd)
+        v = linear_apply(wrap(layer["v_proj"]), h).reshape(b, s, n_kv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    cache = cache.write_decode(li, k, v, positions)
+    cache = cache.write_decode(li, k, v, pos2d)
     if cache.quantized and jnp.dtype(config.dtype) in (jnp.bfloat16,
                                                        jnp.float16):
         # scale-folded int8 attention: no dequantized K/V materialization,
         # bf16 MXU contractions (see gqa_attention_kv_quant)
         kq, ks, vq, vs = cache.read_raw(li, attn_span)
-        attn = gqa_attention_kv_quant(q, kq, ks, vq, vs,
-                                      causal_offset=positions[:, None])
+        attn = gqa_attention_kv_quant(q, kq, ks, vq, vs, causal_offset=pos2d)
     else:
         k_all, v_all = cache.read(li, attn_span)
-        attn = gqa_attention(q, k_all, v_all,
-                             causal_offset=positions[:, None])
-    o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, 1, -1))
+        attn = gqa_attention(q, k_all, v_all, causal_offset=pos2d)
+    o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, s, -1))
     x = x + reduce_fn(o, layer["o_proj"])
     h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)
     if "gateup_proj" in layer:
@@ -395,13 +398,18 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
 
 
 def decode_embed_and_rope(params, tokens, positions, config: LlamaConfig):
-    """Shared decode-step prologue: embedding gather + per-position rope."""
+    """Shared decode-step prologue: embedding gather + per-position rope.
+
+    tokens/positions are [B] (single-token decode) or [B, S] (speculative
+    verify); returns x [B, S, H], cos/sin [B, S, D/2].
+    """
+    tok2d = tokens if tokens.ndim == 2 else tokens[:, None]
+    pos2d = positions if positions.ndim == 2 else positions[:, None]
     cos_full, sin_full = rope_table(config.hd, config.max_seq_len,
                                     config.rope_theta)
-    cos = jnp.take(cos_full, positions, axis=0)[:, None]
-    sin = jnp.take(sin_full, positions, axis=0)[:, None]
-    x = jnp.take(params["embed"], tokens, axis=0
-                 ).astype(config.dtype)[:, None, :]
+    cos = jnp.take(cos_full, pos2d, axis=0)
+    sin = jnp.take(sin_full, pos2d, axis=0)
+    x = jnp.take(params["embed"], tok2d, axis=0).astype(config.dtype)
     return x, cos, sin
 
 
