@@ -18,7 +18,7 @@ the exact-numerics cache.
 Weights are random-initialized *directly in packed form* on-device (a real
 7B fp32 init would not fit HBM and adds nothing to a throughput bench).
 
-Usage: python bench.py [--model 7b|tiny] [--batch 8] [--steps 50]
+Usage: python bench.py [--model 7b|tiny] [--batch 8] [--chunk-steps 32]
 """
 
 import argparse
@@ -144,9 +144,16 @@ def main():
     ap.add_argument("--model", default="7b", choices=["7b", "tiny", "1b"])
     ap.add_argument("--batch", type=int, default=8,
                     help="decode slots (BASELINE config 3: continuous batching)")
-    ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--chunk-steps", type=int, default=16,
-                    help="decode steps per host sync (engine steps_per_sync)")
+    ap.add_argument("--chunk-steps", type=int, default=32,
+                    help="decode steps per jit dispatch (engine steps_per_sync)")
+    ap.add_argument("--group-chunks", type=int, default=4,
+                    help="chunks dispatched back-to-back per host sync "
+                         "(pipelined dispatch: the next chunk is enqueued "
+                         "while the previous one runs, hiding the ~300-500us "
+                         "tunnel dispatch latency exactly as the engine's "
+                         "async step loop does)")
+    ap.add_argument("--groups", type=int, default=5,
+                    help="timed measurement groups (median/IQR over these)")
     ap.add_argument("--context", type=int, default=128)
     ap.add_argument("--max-seq", type=int, default=512)
     ap.add_argument("--runtime-cache", default="int8",
@@ -177,62 +184,70 @@ def main():
                           else first.w_cache)
     print(describe_path(params), file=sys.stderr)
 
-    cache = KVCache.create(config.num_layers, args.batch, args.max_seq,
-                           config.num_kv_heads, config.hd, quantized=True,
-                           dtype=config.dtype)
-    # pretend a prefilled context so decode attends over real history
     import dataclasses
-    cache = dataclasses.replace(
-        cache, lengths=jnp.full((args.batch,), args.context, jnp.int32))
 
-    # one static attention span covering the whole run (the engine re-buckets
-    # per chunk; see DecodeEngine._attn_span)
-    n_chunks = max(1, args.steps // args.chunk_steps)
-    total_steps = (3 + n_chunks) * args.chunk_steps  # first + 2 warmup + timed
+    group_steps = args.chunk_steps * args.group_chunks
+
+    # One static attention span covering a whole group (the engine re-buckets
+    # per chunk; see DecodeEngine._attn_span). Each group starts from a fresh
+    # cache at ``context`` so the span — and therefore the KV bytes the step
+    # reads — is identical across groups.
     span = min(args.max_seq,
-               -(-(args.context + total_steps) // 128) * 128)
-    bpt = bytes_per_token(params, config, cache, batch=args.batch,
-                          attn_span=span)
+               -(-(args.context + group_steps) // 128) * 128)
 
-    tokens = jnp.zeros((args.batch,), jnp.int32)
-    active = jnp.ones((args.batch,), bool)
-    key = jax.random.PRNGKey(0)
     samp = SamplingArrays.build({}, args.batch)   # all-greedy
 
+    def fresh_state():
+        """A cache 'prefilled' to ``context`` so decode attends over real
+        history, plus the per-slot decode state."""
+        cache = KVCache.create(config.num_layers, args.batch, args.max_seq,
+                               config.num_kv_heads, config.hd, quantized=True,
+                               dtype=config.dtype)
+        cache = dataclasses.replace(
+            cache, lengths=jnp.full((args.batch,), args.context, jnp.int32))
+        return (cache, jnp.zeros((args.batch,), jnp.int32),
+                jnp.ones((args.batch,), bool), jax.random.PRNGKey(0))
+
+    bpt = bytes_per_token(params, config, fresh_state()[0],
+                          batch=args.batch, attn_span=span)
+
     def chunk(cache, tokens, active, key):
-        """One engine sync: chunk_steps greedy decode steps in one jit call
-        (sampling on device — exactly what DecodeEngine.step dispatches)."""
+        """One engine dispatch: chunk_steps greedy decode steps in one jit
+        call (sampling on device — exactly what DecodeEngine.step issues)."""
         toks_seq, act_seq, cache, tokens, active, key = decode_chunk(
             params, cache, tokens, active, key, samp, config,
             n_steps=args.chunk_steps, all_greedy=True, attn_span=span)
         return cache, tokens, active, key, toks_seq
 
-    print(f"compiling decode chunk ({args.chunk_steps} steps/sync, "
-          f"attn span {span}/{args.max_seq})...", file=sys.stderr)
-    t0 = time.time()
-    cache, tokens, active, key, toks = chunk(cache, tokens, active, key)
-    jax.block_until_ready(toks)
-    print(f"compile+first chunk: {time.time()-t0:.1f}s", file=sys.stderr)
-
-    # warmup
-    for _ in range(2):
-        cache, tokens, active, key, toks = chunk(cache, tokens, active, key)
-    jax.block_until_ready(toks)
-
-    times = []
-    for _ in range(n_chunks):
+    def run_group():
+        """Dispatch ``group_chunks`` chunks back-to-back, sync once at the
+        end — the engine's async step loop does exactly this, so the tunnel
+        dispatch latency rides under device compute instead of serializing
+        with it."""
+        state = fresh_state()
         t0 = time.time()
-        cache, tokens, active, key, toks = chunk(cache, tokens, active, key)
+        toks = None
+        for _ in range(args.group_chunks):
+            *state, toks = chunk(*state)
         jax.block_until_ready(toks)
-        times.append((time.time() - t0) / args.chunk_steps)
-    times = np.asarray(times)
+        return (time.time() - t0) / group_steps
+
+    print(f"compiling decode chunk ({args.chunk_steps} steps/dispatch, "
+          f"{args.group_chunks} chunks/sync, attn span {span}/{args.max_seq})"
+          "...", file=sys.stderr)
+    t0 = time.time()
+    run_group()
+    print(f"compile+first group: {time.time()-t0:.1f}s", file=sys.stderr)
+    run_group()  # warmup
+
+    times = np.asarray([run_group() for _ in range(args.groups)])
     med = float(np.median(times))
     q1, q3 = np.percentile(times, [25, 75])
 
     tok_s = args.batch / med
     roofline = HBM_BW / bpt
     print(f"step median {med*1e3:.2f}ms  IQR [{q1*1e3:.2f}, {q3*1e3:.2f}]ms "
-          f"over {n_chunks} chunks x {args.chunk_steps} steps", file=sys.stderr)
+          f"over {args.groups} groups x {group_steps} steps", file=sys.stderr)
     print(f"bytes/token {bpt/1e9:.3f}GB  roofline {roofline:.0f} tok/s/chip",
           file=sys.stderr)
     print(json.dumps({

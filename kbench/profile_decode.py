@@ -20,6 +20,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--runtime-cache", default="int8")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--chunk-steps", type=int, default=16,
+                    help="profile the chunked path exactly as bench.py runs it"
+                         " (0 = single decode_step, full-span attention)")
+    ap.add_argument("--attn-span", type=int, default=256)
+    ap.add_argument("--top", type=int, default=24)
     args = ap.parse_args()
     fmt = None if args.runtime_cache == "none" else args.runtime_cache
 
@@ -34,11 +39,36 @@ def main():
     tokens = jnp.zeros((args.batch,), jnp.int32)
     active = jnp.ones((args.batch,), bool)
 
-    logits, cache = decode_step(params, cache, tokens, active, config)
-    jax.block_until_ready(logits)
-    for _ in range(2):
-        logits, cache = decode_step(params, cache, tokens, active, config)
-    jax.block_until_ready(logits)
+    if args.chunk_steps:
+        from tpu_bitsandbytes.engine.engine import decode_chunk
+        from tpu_bitsandbytes.engine.sampler import SamplingArrays
+        samp = SamplingArrays.build({}, args.batch)
+        key = jax.random.PRNGKey(0)
+
+        def run(cache, tokens, active, key):
+            _, _, cache, tokens, active, key = decode_chunk(
+                params, cache, tokens, active, key, samp, config,
+                n_steps=args.chunk_steps, all_greedy=True,
+                attn_span=args.attn_span)
+            return cache, tokens, active, key
+
+        steps_per_call = args.chunk_steps
+        state = (cache, tokens, active, key)
+        state = run(*state)
+        jax.block_until_ready(state[1])
+        for _ in range(2):
+            state = run(*state)
+        jax.block_until_ready(state[1])
+    else:
+        def run(cache, tokens, active, key):
+            logits, cache = decode_step(params, cache, tokens, active, config)
+            return cache, tokens, active, key
+
+        steps_per_call = 1
+        state = (cache, tokens, active, jax.random.PRNGKey(0))
+        for _ in range(3):
+            state = run(*state)
+        jax.block_until_ready(state[1])
 
     import shutil
     log_dir = "/tmp/tbnb_decode_trace"
@@ -46,16 +76,21 @@ def main():
     iters = 3
     with jax.profiler.trace(log_dir):
         for _ in range(iters):
-            logits, cache = decode_step(params, cache, tokens, active, config)
-        jax.block_until_ready(logits)
+            state = run(*state)
+        jax.block_until_ready(state[1])
+    n_steps = iters * steps_per_call
     total, per_op = device_time_us(log_dir)
-    print(f"total device {total/iters/1e3:.2f} ms/step")
+    print(f"total device {total/n_steps/1e3:.3f} ms/step "
+          f"({steps_per_call} steps/call)")
     groups = {}
+    counts = {}
     for op, us in per_op.items():
         key = op.split(".")[0]
         groups[key] = groups.get(key, 0.0) + us
-    for op, us in sorted(groups.items(), key=lambda kv: -kv[1])[:18]:
-        print(f"  {op[:64]:64s} {us/iters/1e3:9.3f} ms/step")
+        counts[key] = counts.get(key, 0) + 1
+    for op, us in sorted(groups.items(), key=lambda kv: -kv[1])[:args.top]:
+        print(f"  {op[:64]:64s} {us/n_steps/1e3:9.4f} ms/step "
+              f"x{counts[op]}")
 
 
 if __name__ == "__main__":
