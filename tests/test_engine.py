@@ -458,6 +458,53 @@ class TestDecodeChunk:
         assert outs[0] == outs[1]
 
 
+class TestPipelinedDispatch:
+    """generate()'s depth-2 pipelined chunk dispatch (run_pipelined) must be
+    token-identical to the blocking step() loop for greedy decoding —
+    including mid-run slot turnover (more prompts than slots, uneven
+    lengths) where the pipeline drains for admission."""
+
+    def test_pipelined_matches_step_loop(self, tiny_model, rng):
+        cfg, params = tiny_model
+        prompts = [list(rng.integers(0, cfg.vocab_size, 3 + i))
+                   for i in range(5)]     # 5 prompts, 2 slots -> turnover
+        sp = SamplingParams(max_new_tokens=6)
+
+        ref_e = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                             quantized_kv=False, steps_per_sync=2)
+        ref = ref_e.generate(prompts, sp, pipeline_depth=1)
+
+        pipe_e = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                              quantized_kv=False, steps_per_sync=2)
+        got = pipe_e.generate(prompts, sp, pipeline_depth=2)
+        assert got == ref
+        assert not pipe_e.active and not pipe_e.waiting
+
+    def test_pipelined_uneven_finish_and_eos(self, tiny_model, rng):
+        """Requests retiring mid-pipeline (max_new_tokens) leave garbage
+        device emissions that must be discarded, and eos stops a slot on
+        device mid-chunk."""
+        cfg, params = tiny_model
+        prompts = [list(rng.integers(0, cfg.vocab_size, 4))
+                   for _ in range(3)]
+        probe_e = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                               quantized_kv=False)
+        first = probe_e.generate([prompts[0]],
+                                 SamplingParams(max_new_tokens=1))[0][0]
+
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                         quantized_kv=False, steps_per_sync=3)
+        e.add_request(prompts[0], SamplingParams(max_new_tokens=9,
+                                                 eos_token_id=first))
+        e.add_request(prompts[1], SamplingParams(max_new_tokens=2))
+        e.add_request(prompts[2], SamplingParams(max_new_tokens=5))
+        e.run_pipelined(depth=2)
+        outs = {r.uid: r.generated for r in e.finished}
+        assert outs[1] == [first]               # eos after the first token
+        assert len(outs[2]) == 2
+        assert len(outs[3]) == 5
+
+
 class TestEngineLimits:
     def test_long_prompt_truncated(self, tiny_model, rng):
         cfg, params = tiny_model

@@ -285,7 +285,7 @@ class DecodeEngine:
             req.pending_first = first
             self.active[slot] = req
 
-    def _attn_span(self) -> int:
+    def _attn_span(self, extra_steps: int = 0) -> int:
         """Static attention-span bucket for the next decode chunk.
 
         Decode attends over the first ``span`` cache positions only, so its
@@ -293,12 +293,53 @@ class DecodeEngine:
         (VERDICT r1: decode cost was O(max_seq) regardless of occupancy).
         The bucket covers every active slot's current write position plus
         the chunk, rounded up to a multiple of 128 (bounded compile count:
-        max_seq/128 variants).
+        max_seq/128 variants). ``extra_steps``: steps already dispatched but
+        not yet collected (pipelined loop) — host bookkeeping lags the device
+        by that many positions.
         """
         longest = max((len(r.prompt) + len(r.generated)
                        for r in self.active.values()), default=0)
-        need = longest + self.steps_per_sync
+        need = longest + extra_steps + self.steps_per_sync
         return min(self.max_seq, max(128, -(-need // 128) * 128))
+
+    def _host_inputs(self):
+        """Build this dispatch's (tokens [B], active_mask [B]) from host
+        bookkeeping, consuming any ``pending_first`` tokens produced by
+        prefill (they become the decode input and the request's first
+        emission)."""
+        tokens = np.zeros((self.max_batch,), np.int32)
+        active_mask = np.zeros((self.max_batch,), bool)
+        for slot, req in list(self.active.items()):
+            if req.pending_first is not None:
+                self._collect(slot, req, req.pending_first)
+                last = req.pending_first
+                req.pending_first = None
+                if req.done:
+                    continue
+            else:
+                last = req.generated[-1]
+            tokens[slot] = last
+            active_mask[slot] = True
+        return tokens, active_mask
+
+    def _collect_chunk(self, toks_seq, act_seq) -> bool:
+        """Pull one chunk's emissions to the host and feed the bookkeeping.
+
+        Emissions for slots whose request already finished (device keeps
+        decoding a slot the host retired mid-pipeline) are discarded by the
+        ``req is None`` guard. Returns (n_emitted, any_request_finished)."""
+        toks_seq = np.asarray(toks_seq)
+        act_seq = np.asarray(act_seq)
+        finished_before = len(self.finished)
+        emitted = 0
+        for i in range(toks_seq.shape[0]):
+            for slot in list(self.active.keys()):
+                req = self.active.get(slot)
+                if req is None or not act_seq[i, slot]:
+                    continue
+                self._collect(slot, req, int(toks_seq[i, slot]))
+                emitted += 1
+        return emitted, len(self.finished) > finished_before
 
     def _collect(self, slot: int, req: Request, token: int):
         req.generated.append(token)
@@ -321,19 +362,7 @@ class DecodeEngine:
             return bool(self.waiting)
 
         # First tokens produced by prefill are consumed as this step's input.
-        tokens = np.zeros((self.max_batch,), np.int32)
-        active_mask = np.zeros((self.max_batch,), bool)
-        for slot, req in list(self.active.items()):
-            if req.pending_first is not None:
-                self._collect(slot, req, req.pending_first)
-                last = req.pending_first
-                req.pending_first = None
-                if req.done:
-                    continue
-            else:
-                last = req.generated[-1]
-            tokens[slot] = last
-            active_mask[slot] = True
+        tokens, active_mask = self._host_inputs()
 
         if not active_mask.any():
             return bool(self.waiting or self.active)
@@ -391,16 +420,7 @@ class DecodeEngine:
             jnp.asarray(active_mask), sub, samp, self.config,
             n_steps=self.steps_per_sync, all_greedy=all_greedy,
             attn_span=self._attn_span())
-        toks_seq = np.asarray(toks_seq)
-        act_seq = np.asarray(act_seq)
-        emitted = 0
-        for i in range(toks_seq.shape[0]):
-            for slot in list(self.active.keys()):
-                req = self.active.get(slot)
-                if req is None or not act_seq[i, slot]:
-                    continue
-                self._collect(slot, req, int(toks_seq[i, slot]))
-                emitted += 1
+        emitted, _ = self._collect_chunk(toks_seq, act_seq)
         self.metrics.record(emitted, _time.perf_counter() - t0)
         return bool(self.waiting or self.active)
 
@@ -542,13 +562,89 @@ class DecodeEngine:
         self.active = {int(s): dec_req(d) for s, d in st["active"].items()}
         self.finished = [dec_req(d) for d in st["finished"]]
 
+    def run_pipelined(self, depth: int = 2) -> None:
+        """Drive all queued work to completion with pipelined chunk dispatch.
+
+        ``step()`` blocks on every decode chunk, so the ~0.3-0.5 ms tunnel
+        dispatch latency (plus host bookkeeping) serializes with device
+        compute once per chunk. This loop keeps up to ``depth`` chunks in
+        flight: chunk k+1 is dispatched from chunk k's *device-side* carry
+        (cache/tokens/active/key never come back to the host), then chunk
+        k's emissions are collected — the dispatch gap rides under device
+        compute exactly as bench.py measures it (~1.4 ms/step reclaimed at
+        7B B=8, 12.7 -> 11.2 ms/step).
+
+        The pipeline drains (falls back to per-chunk admission) whenever a
+        request finishes while others wait for a slot — admission latency is
+        bounded by ``depth`` chunks. A slot whose request the host retires
+        mid-flight (max_new_tokens) keeps decoding garbage on the device
+        until the drain; its emissions are discarded (``_collect_chunk``)
+        and its KV positions are overwritten by the next prefill into that
+        slot (the standard garbage-KV contract, tests/test_engine.py).
+
+        Token-identical to ``step()``-looping for greedy requests; sampled
+        requests consume the chunk-carried RNG stream instead of a fresh
+        host split per chunk (equally valid, different draws).
+        """
+        if self._tp_decode is not None or self.speculative:
+            # per-step mesh decode / verify-step paths block by design
+            while self.step():
+                pass
+            return
+        import time as _time
+        from collections import deque
+        while True:
+            self._admit()
+            if not self.active:
+                if not self.waiting:
+                    return
+                continue
+            tokens, active_mask = self._host_inputs()
+            if not active_mask.any():
+                if not (self.waiting or self.active):
+                    return
+                continue
+            samp = SamplingArrays.build(
+                {s: r.params for s, r in self.active.items()}, self.max_batch)
+            all_greedy = all(self.active[s].params.temperature <= 0
+                             for s in self.active)
+            self.key, sub = jax.random.split(self.key)
+            carry = (jnp.asarray(tokens), jnp.asarray(active_mask), sub)
+            inflight: deque = deque()
+            dispatched = 0          # steps in flight, uncollected
+            t0 = _time.perf_counter()
+            while True:
+                toks_seq, act_seq, self.cache, *carry = decode_chunk(
+                    self.params, self.cache, *carry, samp, self.config,
+                    n_steps=self.steps_per_sync, all_greedy=all_greedy,
+                    attn_span=self._attn_span(extra_steps=dispatched))
+                inflight.append((toks_seq, act_seq))
+                dispatched += self.steps_per_sync
+                if len(inflight) < depth:
+                    continue
+                emitted, finished_any = self._collect_chunk(
+                    *inflight.popleft())
+                dispatched -= self.steps_per_sync
+                self.metrics.record(emitted, _time.perf_counter() - t0)
+                t0 = _time.perf_counter()
+                if (finished_any and self.waiting) or not self.active:
+                    break
+            while inflight:
+                emitted, _ = self._collect_chunk(*inflight.popleft())
+                self.metrics.record(emitted, _time.perf_counter() - t0)
+                t0 = _time.perf_counter()
+            self.key = carry[2]
+
     # -- convenience ------------------------------------------------------
     def generate(self, prompts: List[List[int]],
-                 sampling: Optional[SamplingParams] = None
-                 ) -> List[List[int]]:
+                 sampling: Optional[SamplingParams] = None,
+                 pipeline_depth: int = 2) -> List[List[int]]:
         uids = [self.add_request(p, sampling) for p in prompts]
-        while self.step():
-            pass
+        if pipeline_depth > 1:
+            self.run_pipelined(pipeline_depth)
+        else:
+            while self.step():
+                pass
         by_uid = {r.uid: r.generated for r in self.finished}
         return [by_uid[u] for u in uids]
 
