@@ -161,9 +161,10 @@ class TestBufferIntegrity:
         cache2 = cache.write_decode(0, k_new, k_new, positions)
         k2 = np.asarray(cache2.k)
         # every position except the written (slot, pos) pairs is untouched
+        # (head-major storage: [L, B, H, S, D])
         mask = np.ones_like(k2, bool)
         for s in range(4):
-            mask[0, s, int(positions[s])] = False
+            mask[0, s, :, int(positions[s])] = False
         assert np.array_equal(k2[mask], k0[mask])
 
     def test_padding_region_roundtrip_isolated(self, rng):

@@ -140,10 +140,10 @@ class TestKVCache:
                         dtype=jnp.float32)
         k_new = jnp.asarray(rng.standard_normal((3, 1, 1, 16)).astype(np.float32))
         cache2 = cache.write_decode(0, k_new, k_new, cache.lengths)
-        k_all = np.asarray(cache2.k[0])
-        assert np.allclose(k_all[0, 2, 0], np.asarray(k_new)[0, 0, 0])
+        k_all = np.asarray(cache2.k[0])     # head-major [B, H, S, D]
+        assert np.allclose(k_all[0, 0, 2], np.asarray(k_new)[0, 0, 0])
         assert np.allclose(k_all[1, 0, 0], np.asarray(k_new)[1, 0, 0])
-        assert np.allclose(k_all[2, 5, 0], np.asarray(k_new)[2, 0, 0])
+        assert np.allclose(k_all[2, 0, 5], np.asarray(k_new)[2, 0, 0])
 
     def test_bytes_per_token(self):
         cache = KVCache.create(4, 1, 8, 2, 64, quantized=True)

@@ -2,9 +2,18 @@
 
 INT8 per-token-per-head absmax quantization of K and V — the KV-cache analog
 of the library's row-wise INT8 (functional.py:607-636). The cache is a pytree
-of static-shaped arrays [L, B, S_max, H_kv, D] so the whole decode step jits
-with donated buffers; per-slot lengths make it a slot-addressed pool for the
-continuous-batching scheduler.
+of static-shaped arrays so the whole decode step jits with donated buffers;
+per-slot lengths make it a slot-addressed pool for the continuous-batching
+scheduler.
+
+Storage layout is **head-major** ``[L, B, H_kv, S, D]`` (scales
+``[L, B, H_kv, S]``): the attention contractions batch over (B, H) and
+contract D with T free, so the span-sliced codes feed `dot_general` in their
+physical layout — with the token-major ``[L, B, S, H, D]`` layout XLA
+materialized a transposed copy of every layer's K/V span each step
+(~1.7 ms/step at 7B B=8 span 256, measured via kbench/profile_decode:
+260 slice-done + 264 copy-done ops/step; head-major removes them). This is
+SURVEY §7's "design so cache layout matches the attention kernel's tiling".
 """
 
 from __future__ import annotations
@@ -19,9 +28,9 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class KVCache:
-    k: jnp.ndarray            # int8 [L,B,S,H,D] (or bf16 when not quantized)
+    k: jnp.ndarray            # int8 [L,B,H,S,D] (or bf16 when not quantized)
     v: jnp.ndarray
-    k_scale: Any              # f32 [L,B,S,H] or None
+    k_scale: Any              # f32 [L,B,H,S] or None
     v_scale: Any
     lengths: jnp.ndarray      # int32 [B]
     quantized: bool = True
@@ -45,7 +54,7 @@ class KVCache:
     def create(cls, num_layers: int, batch: int, max_seq: int, num_kv_heads: int,
                head_dim: int, quantized: bool = True, dtype=jnp.bfloat16
                ) -> "KVCache":
-        shape = (num_layers, batch, max_seq, num_kv_heads, head_dim)
+        shape = (num_layers, batch, num_kv_heads, max_seq, head_dim)
         if quantized:
             k = jnp.zeros(shape, jnp.int8)
             v = jnp.zeros(shape, jnp.int8)
@@ -61,15 +70,19 @@ class KVCache:
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def batch(self) -> int:
         return self.k.shape[1]
 
+    @property
+    def num_kv_heads(self) -> int:
+        return self.k.shape[2]
+
     # ------------------------------------------------------------------
     def _quant(self, x):
-        """x [..., H, D] -> (int8 codes, f32 per-(...,H) scales)."""
+        """x [..., D] -> (int8 codes, f32 per-[...] scales)."""
         absmax = jnp.clip(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1),
                           min=1e-8)
         q = jnp.clip(jnp.round(x.astype(jnp.float32)
@@ -85,7 +98,7 @@ class KVCache:
         write: when False the existing contents are written back unchanged —
         used by the dp-sharded TP prefill, where only the dp group owning the
         slot may mutate its shard (parallel/tp.py). Masking happens on the
-        small [S_p, H, D] slice, not the full cache, so non-owners pay one
+        small [H, S_p, D] slice, not the full cache, so non-owners pay one
         slice read instead of a whole-buffer select. Returns the updated
         cache (functional).
         """
@@ -95,18 +108,20 @@ class KVCache:
                 new = jnp.where(own, new, cur)
             return jax.lax.dynamic_update_slice(buf, new, idx)
 
+        k_hm = jnp.swapaxes(k_new, 0, 1)        # [H, S_p, D]
+        v_hm = jnp.swapaxes(v_new, 0, 1)
         if self.quantized:
-            kq, ks = self._quant(k_new)
-            vq, vs = self._quant(v_new)
-            k = upd(self.k, kq[None, None], (layer, slot, start, 0, 0))
-            v = upd(self.v, vq[None, None], (layer, slot, start, 0, 0))
-            ksc = upd(self.k_scale, ks[None, None], (layer, slot, start, 0))
-            vsc = upd(self.v_scale, vs[None, None], (layer, slot, start, 0))
+            kq, ks = self._quant(k_hm)          # codes [H,S_p,D], scales [H,S_p]
+            vq, vs = self._quant(v_hm)
+            k = upd(self.k, kq[None, None], (layer, slot, 0, start, 0))
+            v = upd(self.v, vq[None, None], (layer, slot, 0, start, 0))
+            ksc = upd(self.k_scale, ks[None, None], (layer, slot, 0, start))
+            vsc = upd(self.v_scale, vs[None, None], (layer, slot, 0, start))
             return dataclasses.replace(self, k=k, v=v, k_scale=ksc, v_scale=vsc)
-        k = upd(self.k, k_new.astype(self.k.dtype)[None, None],
-                (layer, slot, start, 0, 0))
-        v = upd(self.v, v_new.astype(self.v.dtype)[None, None],
-                (layer, slot, start, 0, 0))
+        k = upd(self.k, k_hm.astype(self.k.dtype)[None, None],
+                (layer, slot, 0, start, 0))
+        v = upd(self.v, v_hm.astype(self.v.dtype)[None, None],
+                (layer, slot, 0, start, 0))
         return dataclasses.replace(self, k=k, v=v)
 
     def write_decode(self, layer: int, k_new, v_new, positions) -> "KVCache":
@@ -117,26 +132,31 @@ class KVCache:
         the causal mask keeps unattended until they are overwritten (the
         same contract as prefill's padding garbage)."""
         b = self.batch
+        h = self.num_kv_heads
         if positions.ndim == 1:
             positions = positions[:, None]
-        batch_idx = jnp.arange(b)[:, None]
+        # head-major scatter indices broadcasting to [B, H, S]
+        b_idx = jnp.arange(b)[:, None, None]
+        h_idx = jnp.arange(h)[None, :, None]
+        pos = positions[:, None, :]
+        k_hm = jnp.swapaxes(k_new, 1, 2)        # [B, H, S, D]
+        v_hm = jnp.swapaxes(v_new, 1, 2)
         if self.quantized:
-            kq, ks = self._quant(k_new)
-            vq, vs = self._quant(v_new)
-            k = self.k.at[layer, batch_idx, positions].set(kq)
-            v = self.v.at[layer, batch_idx, positions].set(vq)
-            ksc = self.k_scale.at[layer, batch_idx, positions].set(ks)
-            vsc = self.v_scale.at[layer, batch_idx, positions].set(vs)
+            kq, ks = self._quant(k_hm)          # [B,H,S,D], [B,H,S]
+            vq, vs = self._quant(v_hm)
+            k = self.k.at[layer, b_idx, h_idx, pos].set(kq)
+            v = self.v.at[layer, b_idx, h_idx, pos].set(vq)
+            ksc = self.k_scale.at[layer, b_idx, h_idx, pos].set(ks)
+            vsc = self.v_scale.at[layer, b_idx, h_idx, pos].set(vs)
             return dataclasses.replace(self, k=k, v=v, k_scale=ksc, v_scale=vsc)
-        k = self.k.at[layer, batch_idx, positions].set(
-            k_new.astype(self.k.dtype))
-        v = self.v.at[layer, batch_idx, positions].set(
-            v_new.astype(self.v.dtype))
+        k = self.k.at[layer, b_idx, h_idx, pos].set(k_hm.astype(self.k.dtype))
+        v = self.v.at[layer, b_idx, h_idx, pos].set(v_hm.astype(self.v.dtype))
         return dataclasses.replace(self, k=k, v=v)
 
     def read(self, layer: int, span: Optional[int] = None
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Dequantized K/V for a layer: [B, span, H, D] in compute dtype.
+        """Dequantized K/V for a layer: [B, span, H, D] in compute dtype
+        (token-major, the gqa_attention operand layout).
 
         ``span`` (static) restricts the read to the first ``span`` positions —
         the decode cost then tracks actual sequence lengths instead of
@@ -144,33 +164,36 @@ class KVCache:
         Positions ≥ span for *active* slots would be silently unattended, so
         callers must guarantee span covers every active slot's length.
 
-        XLA fuses the int8→bf16 dequant into the attention matmuls, so the
-        bf16 tensors are never materialized in HBM — the HBM read is the
-        int8 codes + scales (the whole point of a quantized cache).
+        This is the compatibility path (it transposes out of the head-major
+        storage); the decode fast path is :meth:`read_raw` +
+        ``gqa_attention_kv_quant``, which consumes the storage layout
+        directly.
         """
         sl = slice(None) if span is None else slice(0, span)
         if self.quantized:
-            k = (self.k[layer, :, sl].astype(jnp.float32)
-                 * (self.k_scale[layer, :, sl][..., None] / 127.0)
+            k = (self.k[layer, :, :, sl].astype(jnp.float32)
+                 * (self.k_scale[layer, :, :, sl][..., None] / 127.0)
                  ).astype(self.dtype)
-            v = (self.v[layer, :, sl].astype(jnp.float32)
-                 * (self.v_scale[layer, :, sl][..., None] / 127.0)
+            v = (self.v[layer, :, :, sl].astype(jnp.float32)
+                 * (self.v_scale[layer, :, :, sl][..., None] / 127.0)
                  ).astype(self.dtype)
-            return k, v
-        return self.k[layer, :, sl], self.v[layer, :, sl]
+            return jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+        return (jnp.swapaxes(self.k[layer, :, :, sl], 1, 2),
+                jnp.swapaxes(self.v[layer, :, :, sl], 1, 2))
 
     def read_raw(self, layer: int, span: Optional[int] = None):
-        """Raw codes + scales for a layer: (k, k_scale, v, v_scale), each
-        sliced to the first ``span`` positions. For a quantized cache this
-        is the zero-copy input to the scale-folded attention
-        (models.layers.gqa_attention_kv_quant) — no dequantized tensor is
-        ever materialized. Scales are None when not quantized.
+        """Raw codes + scales for a layer: (k, k_scale, v, v_scale), codes
+        [B, H, span, D] and scales [B, H, span] — the storage layout, which
+        is exactly the (batch=(B,H), contract=D|T) operand layout of the
+        scale-folded attention (models.layers.gqa_attention_kv_quant). The
+        span slice therefore fuses into the attention dots with no
+        materialized copy. Scales are None when not quantized.
         """
         sl = slice(None) if span is None else slice(0, span)
         if self.quantized:
-            return (self.k[layer, :, sl], self.k_scale[layer, :, sl],
-                    self.v[layer, :, sl], self.v_scale[layer, :, sl])
-        return self.k[layer, :, sl], None, self.v[layer, :, sl], None
+            return (self.k[layer, :, :, sl], self.k_scale[layer, :, :, sl],
+                    self.v[layer, :, :, sl], self.v_scale[layer, :, :, sl])
+        return self.k[layer, :, :, sl], None, self.v[layer, :, :, sl], None
 
     def reset_slot(self, slot: int) -> "KVCache":
         return dataclasses.replace(
@@ -181,7 +204,7 @@ class KVCache:
             self, lengths=self.lengths.at[slot].set(length))
 
     def bytes_per_token(self) -> int:
-        l, _, _, h, d = self.k.shape
+        l, _, h, _, d = self.k.shape
         per = 2 * h * d * (1 if self.quantized else 2)
         if self.quantized:
             per += 2 * h * 4

@@ -104,8 +104,16 @@ def create_fp4_map(signed: bool = True):
     return jnp.array(FP4_CODEBOOK)
 
 
-def _codebook_for(quant_type: str) -> jnp.ndarray:
-    return NF4_CODEBOOK if quant_type == "nf4" else FP4_CODEBOOK
+def _codebook_for(quant_type: str) -> np.ndarray:
+    """Codebook for use inside jitted functions.
+
+    Returns the numpy copy on purpose: a module-level *device* array closed
+    over by a jitted function becomes an MLIR constant whose lowering pulls
+    the value device->host (`array._value`) — on the tunneled axon backend
+    that fetch can deadlock against in-flight async dispatches. A numpy
+    constant embeds straight from host memory with no device round-trip.
+    """
+    return NF4_CODEBOOK_NP if quant_type == "nf4" else FP4_CODEBOOK_NP
 
 
 # =============================================================================

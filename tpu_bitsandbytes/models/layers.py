@@ -276,6 +276,8 @@ def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None):
     if scale is None:
         scale = 1.0 / np.sqrt(d)
     half = q.dtype in (jnp.bfloat16, jnp.float16)
+    if jax.default_backend() == "cpu":
+        half = False    # CPU DotThunk lacks bf16 kernels for some layouts
     qg = q.reshape(b, s, h_kv, rep, d)
     qc, kc = (qg, k.astype(q.dtype)) if half else (qg.astype(jnp.float32),
                                                    k.astype(jnp.float32))
@@ -296,11 +298,16 @@ def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
                            causal_offset=None, scale=None):
     """GQA directly over int8 KV codes (decode fast path).
 
-    q: [B, S, H, D]; k_q/v_q: int8 [B, T, H_kv, D]; k_scale/v_scale: f32
-    [B, T, H_kv] per-(token, head) absmax scales (engine/kvcache.py _quant).
+    q: [B, S, H, D]; k_q/v_q: int8 **head-major** [B, H_kv, T, D];
+    k_scale/v_scale: f32 [B, H_kv, T] per-(head, token) absmax scales
+    (engine/kvcache.py _quant). The operand layout IS the KV cache's storage
+    layout (KVCache.read_raw), so both contractions — batch dims (B, H_kv),
+    contract D (QK^T) / T (PV) — consume the span-sliced codes in place; no
+    transposed copy is ever materialized (the token-major layout cost
+    ~1.7 ms/step at 7B B=8, kbench/profile_decode).
 
-    The dequantized K/V are never materialized: ``k_scale`` indexes the
-    logits' *output* axis t, so it folds into the logits after the QK^T
+    The dequantized K/V are never materialized either: ``k_scale`` indexes
+    the logits' *output* axis t, so it folds into the logits after the QK^T
     contraction; ``v_scale`` indexes the PV contraction axis, so it folds
     into the probabilities before the PV contraction. Both einsums then run
     as int8→bf16 convert+dot (MXU-ingest-fused by XLA, same mechanism as
@@ -310,23 +317,27 @@ def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
     standard flash-attention arrangement.
     """
     b, s, h, d = q.shape
-    t = k_q.shape[1]
-    h_kv = k_q.shape[2]
+    h_kv, t = k_q.shape[1], k_q.shape[2]
     rep = h // h_kv
     if scale is None:
         scale = 1.0 / np.sqrt(d)
     cd = q.dtype if q.dtype in (jnp.bfloat16, jnp.float16) else jnp.bfloat16
+    if jax.default_backend() == "cpu":
+        # CPU's DotThunk has no bf16 x bf16 -> f32 kernel for the head-major
+        # batched dot; f32 is numerically a superset, and CPU is the
+        # test/fallback backend — TPU keeps the bf16 MXU-ingest path.
+        cd = jnp.float32
     qg = q.reshape(b, s, h_kv, rep, d).astype(cd)
-    logits = jnp.einsum("bshrd,bthd->bhrst", qg, k_q.astype(cd),
+    logits = jnp.einsum("bshrd,bhtd->bhrst", qg, k_q.astype(cd),
                         preferred_element_type=jnp.float32)
-    # k_scale [B,T,H_kv] -> [B,H_kv,1,1,T] on the logits' output axis
-    ks = (k_scale.transpose(0, 2, 1) * (scale / 127.0))[:, :, None, None, :]
+    # k_scale [B,H_kv,T] -> [B,H_kv,1,1,T] on the logits' output axis
+    ks = (k_scale * (scale / 127.0))[:, :, None, None, :]
     logits = logits * ks
     logits = jnp.where(_causal_mask(s, t, causal_offset), logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     # v_scale folds on the contraction axis t, before the PV product
-    vs = (v_scale.transpose(0, 2, 1) / 127.0)[:, :, None, None, :]
+    vs = (v_scale / 127.0)[:, :, None, None, :]
     pv = (probs * vs).astype(cd)
-    out = jnp.einsum("bhrst,bthd->bshrd", pv, v_q.astype(cd),
+    out = jnp.einsum("bhrst,bhtd->bshrd", pv, v_q.astype(cd),
                      preferred_element_type=jnp.float32)
     return out.reshape(b, s, h, d).astype(q.dtype)

@@ -107,7 +107,7 @@ def shard_params(params, mesh: Mesh, specs=None):
 
 
 def kv_cache_spec(cache=None):
-    """KV cache [L, B, S, H_kv, D]: heads over tp, slots over dp.
+    """KV cache [L, B, H_kv, S, D] (head-major): heads over tp, slots over dp.
 
     Pass the actual cache so the spec pytree's static aux (quantized, dtype)
     matches — required for structure matching in shard_map/jit shardings.
@@ -115,10 +115,10 @@ def kv_cache_spec(cache=None):
     from ..engine.kvcache import KVCache
     quantized = True if cache is None else cache.quantized
     dtype = None if cache is None else cache.dtype
-    scale_spec = P(None, "dp", None, "tp") if quantized else None
+    scale_spec = P(None, "dp", "tp", None) if quantized else None
     return KVCache(
-        k=P(None, "dp", None, "tp", None),
-        v=P(None, "dp", None, "tp", None),
+        k=P(None, "dp", "tp", None, None),
+        v=P(None, "dp", "tp", None, None),
         k_scale=scale_spec,
         v_scale=scale_spec,
         lengths=P("dp"),
