@@ -146,13 +146,6 @@ def prefill_step_spmd(params, cache: KVCache, tokens: jnp.ndarray,
         return _prefill_impl(params, cache, tokens, slot, true_len, config)
 
 
-@partial(jax.jit, static_argnames=("all_greedy",))
-def _sample_jit(logits, key, samp, all_greedy: bool):
-    if all_greedy:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return sample_batched(logits, key, samp)
-
-
 # ---------------------------------------------------------------------------
 # continuous batching
 # ---------------------------------------------------------------------------
@@ -220,7 +213,8 @@ class DecodeEngine:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel import (shard_params, kv_cache_spec,
-                                    make_tp_decode_step, make_tp_prefill_step)
+                                    make_tp_decode_chunk,
+                                    make_tp_prefill_step)
             dp = mesh.shape["dp"]
             if max_batch % dp != 0:
                 raise ValueError(f"max_batch {max_batch} must divide by "
@@ -230,8 +224,9 @@ class DecodeEngine:
                 cache, jax.tree_util.tree_map(
                     lambda s: NamedSharding(mesh, s), kv_cache_spec(cache),
                     is_leaf=lambda x: isinstance(x, P)))
-            self._tp_decode = make_tp_decode_step(mesh, self.params, config,
-                                                  cache)
+            self._tp_decode = make_tp_decode_chunk(
+                mesh, self.params, config, cache,
+                n_steps=self.steps_per_sync)
             self._tp_prefill = make_tp_prefill_step(mesh, self.params, config,
                                                     cache)
         else:
@@ -372,20 +367,15 @@ class DecodeEngine:
         all_greedy = all(self.active[s].params.temperature <= 0
                          for s in self.active)
         if self._tp_decode is not None:
-            # mesh path: per-step decode + device-batched sampling
-            logits, self.cache = self._tp_decode(
-                self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(active_mask))
-            self.key, sub = jax.random.split(self.key)
+            # mesh path: chunked shard_map decode, sampling on device
             samp = SamplingArrays.build(
                 {s: r.params for s, r in self.active.items()}, self.max_batch)
-            toks = np.asarray(_sample_jit(logits, sub, samp, all_greedy))
-            emitted = 0
-            for slot in list(self.active.keys()):
-                if active_mask[slot]:
-                    self._collect(slot, self.active.get(slot),
-                                  int(toks[slot]))
-                    emitted += 1
+            self.key, sub = jax.random.split(self.key)
+            toks_seq, act_seq, self.cache, *_ = self._tp_decode(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(active_mask), sub, samp,
+                all_greedy=all_greedy, attn_span=self._attn_span())
+            emitted, _ = self._collect_chunk(toks_seq, act_seq)
             self.metrics.record(emitted, _time.perf_counter() - t0)
             return bool(self.waiting or self.active)
 
@@ -486,14 +476,17 @@ class DecodeEngine:
                                           jnp.int32(0), jnp.int32(min(b, 1)),
                                           self.config)
         if self._tp_decode is not None:
-            logits, _ = self._tp_decode(
+            samp = SamplingArrays.build({}, self.max_batch)
+            toks_seq, *_ = self._tp_decode(
                 self.params, scratch, jnp.zeros((self.max_batch,), jnp.int32),
-                jnp.ones((self.max_batch,), bool))
+                jnp.ones((self.max_batch,), bool), jax.random.PRNGKey(0),
+                samp, all_greedy=True, attn_span=self._attn_span())
+            jax.block_until_ready(toks_seq)
         else:
             logits, _ = decode_step(
                 self.params, scratch, jnp.zeros((self.max_batch,), jnp.int32),
                 jnp.ones((self.max_batch,), bool), self.config)
-        jax.block_until_ready(logits)
+            jax.block_until_ready(logits)
 
     # -- failure recovery: deterministic snapshot / restart ---------------
     def save_state(self, path: str) -> None:
@@ -586,8 +579,8 @@ class DecodeEngine:
         requests consume the chunk-carried RNG stream instead of a fresh
         host split per chunk (equally valid, different draws).
         """
-        if self._tp_decode is not None or self.speculative:
-            # per-step mesh decode / verify-step paths block by design
+        if self.speculative:
+            # the verify-step path blocks per step by design
             while self.step():
                 pass
             return
@@ -608,16 +601,29 @@ class DecodeEngine:
                 {s: r.params for s, r in self.active.items()}, self.max_batch)
             all_greedy = all(self.active[s].params.temperature <= 0
                              for s in self.active)
-            self.key, sub = jax.random.split(self.key)
-            carry = (jnp.asarray(tokens), jnp.asarray(active_mask), sub)
+            carry = (jnp.asarray(tokens), jnp.asarray(active_mask))
+            chain_key = None        # single-device path chains the key
             inflight: deque = deque()
             dispatched = 0          # steps in flight, uncollected
             t0 = _time.perf_counter()
             while True:
-                toks_seq, act_seq, self.cache, *carry = decode_chunk(
-                    self.params, self.cache, *carry, samp, self.config,
-                    n_steps=self.steps_per_sync, all_greedy=all_greedy,
-                    attn_span=self._attn_span(extra_steps=dispatched))
+                span = self._attn_span(extra_steps=dispatched)
+                if self._tp_decode is not None:
+                    # mesh chunk: fresh host-split key per dispatch (the
+                    # dp-folded key never leaves the shard_map)
+                    self.key, sub = jax.random.split(self.key)
+                    toks_seq, act_seq, self.cache, *carry = self._tp_decode(
+                        self.params, self.cache, *carry, sub, samp,
+                        all_greedy=all_greedy, attn_span=span)
+                else:
+                    if chain_key is None:
+                        self.key, chain_key = jax.random.split(self.key)
+                    toks_seq, act_seq, self.cache, tok_d, act_d, chain_key = \
+                        decode_chunk(
+                            self.params, self.cache, *carry, chain_key, samp,
+                            self.config, n_steps=self.steps_per_sync,
+                            all_greedy=all_greedy, attn_span=span)
+                    carry = [tok_d, act_d]
                 inflight.append((toks_seq, act_seq))
                 dispatched += self.steps_per_sync
                 if len(inflight) < depth:
@@ -633,7 +639,8 @@ class DecodeEngine:
                 emitted, _ = self._collect_chunk(*inflight.popleft())
                 self.metrics.record(emitted, _time.perf_counter() - t0)
                 t0 = _time.perf_counter()
-            self.key = carry[2]
+            if chain_key is not None:
+                self.key = chain_key
 
     # -- convenience ------------------------------------------------------
     def generate(self, prompts: List[List[int]],

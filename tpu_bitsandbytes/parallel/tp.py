@@ -54,7 +54,8 @@ def _row_bias(w):
 
 
 def _tp_decode_impl(params, cache: KVCache, tokens, active,
-                    config: llama.LlamaConfig, tp_axis: str = "tp"):
+                    config: llama.LlamaConfig, tp_axis: str = "tp",
+                    attn_span=None):
     """Per-device body (inside shard_map). tokens/active are dp-local."""
     b = tokens.shape[0]
     tp = jax.lax.psum(1, tp_axis)
@@ -79,7 +80,8 @@ def _tp_decode_impl(params, cache: KVCache, tokens, active,
     for li, layer in enumerate(params["layers"]):
         x, cache = llama.decode_layer(
             layer, x, cos, sin, positions, cache, li, config,
-            n_heads=n_heads, n_kv=n_kv, wrap=wrap, reduce_fn=reduce_fn)
+            n_heads=n_heads, n_kv=n_kv, wrap=wrap, reduce_fn=reduce_fn,
+            attn_span=attn_span)
 
     x = rms_norm(x, params["final_norm"], config.rms_eps)
     head = params.get("lm_head", None)
@@ -91,6 +93,40 @@ def _tp_decode_impl(params, cache: KVCache, tokens, active,
     cache = dataclasses.replace(
         cache, lengths=cache.lengths + active.astype(jnp.int32))
     return logits.astype(jnp.float32), cache
+
+
+def _tp_decode_chunk_impl(params, cache: KVCache, tokens, active, key, samp,
+                          config: llama.LlamaConfig, n_steps: int = 8,
+                          all_greedy: bool = False, attn_span=None,
+                          tp_axis: str = "tp", dp_axis: str = "dp"):
+    """n_steps TP decode steps + on-device sampling in one shard_map body —
+    the mesh counterpart of engine.decode_chunk (one dispatch per chunk
+    instead of one per token, with the same EOS/dead-slot semantics).
+    tokens/active/samp are dp-local; ``key`` is replicated and folded with
+    the dp index so each dp group draws an independent stream (greedy
+    output is key-independent, keeping mesh == single-device tokens)."""
+    max_seq = cache.max_seq
+    key = jax.random.fold_in(key, jax.lax.axis_index(dp_axis))
+
+    def body(carry, _):
+        cache, tokens, active, key = carry
+        logits, cache = _tp_decode_impl(params, cache, tokens, active,
+                                        config, tp_axis, attn_span)
+        key, sub = jax.random.split(key)
+        if all_greedy:
+            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            from ..engine.sampler import sample_batched
+            toks = sample_batched(logits, sub, samp)
+        toks = jnp.where(active, toks, tokens)
+        emitted_by = active
+        hit_eos = active & (toks == samp.eos_id)
+        active = active & ~hit_eos & (cache.lengths < max_seq - 1)
+        return (cache, toks, active, key), (toks, emitted_by)
+
+    (cache, tokens, active, key), (toks_seq, act_seq) = jax.lax.scan(
+        body, (cache, tokens, active, key), None, length=n_steps)
+    return toks_seq, act_seq, cache, tokens, active
 
 
 def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
@@ -172,6 +208,40 @@ def make_tp_prefill_step(mesh: Mesh, params, config: llama.LlamaConfig,
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(1,))
+
+
+def make_tp_decode_chunk(mesh: Mesh, params, config: llama.LlamaConfig,
+                         cache: KVCache, n_steps: int = 8):
+    """Build the jitted shard_map'ed decode *chunk* (n_steps tokens per
+    dispatch, sampling on device) for sharded params/cache.
+
+    Returns ``fn(params, cache, tokens, active, key, samp, all_greedy=...,
+    attn_span=...)`` → (toks_seq [n, B], act_seq [n, B], cache,
+    last_tokens [B], active [B]). The RNG key is NOT returned (its evolved
+    value is dp-group-local inside the shard_map); callers split a fresh key
+    per dispatch like DecodeEngine.step does.
+    """
+    from ..engine.sampler import SamplingArrays
+    pspecs = llama_param_specs(params)
+    cspec = kv_cache_spec(cache)
+    samp_spec = SamplingArrays(P("dp"), P("dp"), P("dp"), P("dp"))
+
+    @partial(jax.jit, static_argnames=("all_greedy", "attn_span"),
+             donate_argnums=(1,))
+    def chunk(params, cache, tokens, active, key, samp,
+              all_greedy=False, attn_span=None):
+        fn = shard_map(
+            partial(_tp_decode_chunk_impl, config=config, n_steps=n_steps,
+                    all_greedy=all_greedy, attn_span=attn_span),
+            mesh=mesh,
+            in_specs=(pspecs, cspec, P("dp"), P("dp"), P(), samp_spec),
+            out_specs=(P(None, "dp"), P(None, "dp"), cspec, P("dp"),
+                       P("dp")),
+            check_vma=False,
+        )
+        return fn(params, cache, tokens, active, key, samp)
+
+    return chunk
 
 
 def make_tp_decode_step(mesh: Mesh, params, config: llama.LlamaConfig,
