@@ -251,6 +251,46 @@ class TestMeshEngine:
             SamplingParams(max_new_tokens=3))
         assert all(len(o) == 3 for o in outs)
 
+    def test_engine_mesh_mixed_sampling_and_step_path(self, tp_model, rng):
+        """Chunked mesh decode: mixed per-slot sampling params run in one
+        device chunk; greedy slots stay token-identical to single-device,
+        on both the pipelined generate() and the per-chunk step() paths."""
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg, params = tp_model
+        prompts = [list(rng.integers(0, cfg.vocab_size, 5)) for _ in range(3)]
+        sps = [SamplingParams(max_new_tokens=6),
+               SamplingParams(max_new_tokens=6, temperature=0.8, top_k=20),
+               SamplingParams(max_new_tokens=6, temperature=0.7, top_p=0.9)]
+
+        def run(eng, pipelined):
+            uids = [eng.add_request(p, s) for p, s in zip(prompts, sps)]
+            if pipelined:
+                eng.run_pipelined(2)
+            else:
+                while eng.step():
+                    pass
+            by = {r.uid: r.generated for r in eng.finished}
+            return [by[u] for u in uids]
+
+        single = DecodeEngine(params, cfg, max_batch=4, max_seq=64,
+                              quantized_kv=False)
+        ref = run(single, pipelined=True)
+
+        mesh = make_mesh(tp=4, dp=2)
+        multi = DecodeEngine(params, cfg, max_batch=4, max_seq=64,
+                             quantized_kv=False, mesh=mesh)
+        out = run(multi, pipelined=True)
+        assert out[0] == ref[0]          # greedy slot: token-identical
+        for o in out[1:]:                # sampled slots: valid emissions
+            assert len(o) == 6
+            assert all(0 <= t < cfg.vocab_size for t in o)
+
+        mesh2 = make_mesh(tp=4, dp=2)
+        stepper = DecodeEngine(params, cfg, max_batch=4, max_seq=64,
+                               quantized_kv=False, mesh=mesh2)
+        out2 = run(stepper, pipelined=False)
+        assert out2[0] == ref[0]
+
     def test_engine_mesh_batch_divisibility(self, tp_model):
         from tpu_bitsandbytes.engine import DecodeEngine
         cfg, params = tp_model
