@@ -159,7 +159,9 @@ class Request:
     generated: List[int] = dataclasses.field(default_factory=list)
     slot: Optional[int] = None
     done: bool = False
-    pending_first: Optional[int] = None   # first token produced by prefill
+    # first token produced by prefill: a device scalar until _host_inputs
+    # (or save_state) reads it — admission never blocks on the device
+    pending_first: Optional[Any] = None
 
 
 def _bucket(n: int, max_seq: int) -> int:
@@ -276,8 +278,10 @@ class DecodeEngine:
                     self.params, self.cache, jnp.asarray(toks),
                     jnp.int32(slot), jnp.int32(s), self.config)
             self.key, sub = jax.random.split(self.key)
-            first = int(sample(last_logits[None, :], sub, req.params)[0])
-            req.pending_first = first
+            # device scalar — the host sync is deferred to _host_inputs so
+            # back-to-back admissions pipeline their prefill dispatches
+            req.pending_first = sample(last_logits[None, :], sub,
+                                       req.params)[0]
             self.active[slot] = req
 
     def _attn_span(self, extra_steps: int = 0) -> int:
@@ -306,8 +310,9 @@ class DecodeEngine:
         active_mask = np.zeros((self.max_batch,), bool)
         for slot, req in list(self.active.items()):
             if req.pending_first is not None:
-                self._collect(slot, req, req.pending_first)
-                last = req.pending_first
+                first = int(req.pending_first)
+                self._collect(slot, req, first)
+                last = first
                 req.pending_first = None
                 if req.done:
                     continue
@@ -503,7 +508,9 @@ class DecodeEngine:
             return {"uid": r.uid, "prompt": list(r.prompt),
                     "sampling": dataclasses.asdict(r.params),
                     "generated": list(r.generated), "slot": r.slot,
-                    "done": r.done, "pending_first": r.pending_first}
+                    "done": r.done,
+                    "pending_first": None if r.pending_first is None
+                    else int(r.pending_first)}
 
         save_checkpoint(path, {
             "cache": {"k": self.cache.k, "v": self.cache.v,
