@@ -14,6 +14,7 @@ from kbench.probe2 import device_time_us
 import bench as B
 from tpu_bitsandbytes.models import llama
 from tpu_bitsandbytes.engine import KVCache, decode_step
+from tpu_bitsandbytes.engine.sampler import greedy
 
 
 def main():
@@ -62,6 +63,9 @@ def main():
     else:
         def run(cache, tokens, active, key):
             logits, cache = decode_step(params, cache, tokens, active, config)
+            # feed greedy tokens forward so state[1] depends on this step —
+            # block_until_ready(state[1]) must actually wait for the decode
+            tokens = greedy(logits)
             return cache, tokens, active, key
 
         steps_per_call = 1

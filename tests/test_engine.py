@@ -505,6 +505,29 @@ class TestPipelinedDispatch:
         assert len(outs[3]) == 5
 
 
+    def test_pipelined_admits_after_first_token_retirement(self, tiny_model,
+                                                           rng):
+        """A request that retires at _host_inputs time (max_new_tokens=1:
+        its prefill token is its whole output) frees a slot before any chunk
+        reports a finish — the pipeline must still break to admit the
+        waiting request instead of idling until the long request ends."""
+        cfg, params = tiny_model
+        prompts = [list(rng.integers(0, cfg.vocab_size, 4))
+                   for _ in range(3)]
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                         quantized_kv=False, steps_per_sync=2)
+        e.add_request(prompts[0], SamplingParams(max_new_tokens=1))
+        e.add_request(prompts[1], SamplingParams(max_new_tokens=40))
+        e.add_request(prompts[2], SamplingParams(max_new_tokens=2))
+        e.run_pipelined(depth=2)
+        outs = {r.uid: r.generated for r in e.finished}
+        assert len(outs) == 3 and len(outs[3]) == 2 and len(outs[2]) == 40
+        # finish ORDER proves admission wasn't starved: the waiting 2-token
+        # request must finish before the 40-token one (starved, it would be
+        # admitted only after the long request finished)
+        assert [r.uid for r in e.finished] == [1, 3, 2]
+
+
 class TestEngineLimits:
     def test_long_prompt_truncated(self, tiny_model, rng):
         cfg, params = tiny_model

@@ -171,6 +171,12 @@ def _bucket(n: int, max_seq: int) -> int:
     return min(b, max_seq)
 
 
+def _span_bucket(need: int, max_seq: int) -> int:
+    """Attention-span bucket: ``need`` rounded up to a multiple of 128,
+    clamped to [128, max_seq] (bounded compile count: max_seq/128 spans)."""
+    return min(max_seq, max(128, -(-need // 128) * 128))
+
+
 class DecodeEngine:
     """Slot-based continuous-batching decode engine over a Llama-family model.
 
@@ -204,6 +210,9 @@ class DecodeEngine:
         self.steps_per_sync = max(1, int(steps_per_sync))
         if speculative not in (None, "ngram"):
             raise ValueError(f"unknown speculative mode: {speculative!r}")
+        if speculative is not None and mesh is not None:
+            raise ValueError("speculative decoding is single-device only; "
+                             "drop speculative= or mesh=")
         self.speculative = speculative
         self.spec_gamma = int(spec_gamma)
         self.spec_stats = {"verify_steps": 0, "drafted": 0, "accepted": 0}
@@ -298,8 +307,8 @@ class DecodeEngine:
         """
         longest = max((len(r.prompt) + len(r.generated)
                        for r in self.active.values()), default=0)
-        need = longest + extra_steps + self.steps_per_sync
-        return min(self.max_seq, max(128, -(-need // 128) * 128))
+        return _span_bucket(longest + extra_steps + self.steps_per_sync,
+                            self.max_seq)
 
     def _host_inputs(self):
         """Build this dispatch's (tokens [B], active_mask [B]) from host
@@ -322,7 +331,7 @@ class DecodeEngine:
             active_mask[slot] = True
         return tokens, active_mask
 
-    def _collect_chunk(self, toks_seq, act_seq) -> bool:
+    def _collect_chunk(self, toks_seq, act_seq) -> "tuple[int, bool]":
         """Pull one chunk's emissions to the host and feed the bookkeeping.
 
         Emissions for slots whose request already finished (device keeps
@@ -388,10 +397,10 @@ class DecodeEngine:
         # token per slot in a single forward (greedy-exact; engine falls
         # back to chunked decode when any slot samples stochastically or
         # the batch is out of sequence headroom)
-        longest = max(len(r.prompt) + len(r.generated)
-                      for r in self.active.values())
         if (self.speculative == "ngram" and all_greedy
-                and longest + self.spec_gamma + 1 < self.max_seq - 1):
+                and max(len(r.prompt) + len(r.generated)
+                        for r in self.active.values())
+                + self.spec_gamma + 1 < self.max_seq - 1):
             emitted, counts = self._speculative_step(tokens, active_mask)
             n_emit = 0
             for slot in list(self.active.keys()):
@@ -436,8 +445,7 @@ class DecodeEngine:
         toks = np.concatenate([tokens[:, None], drafts], axis=1)
         longest = max(len(r.prompt) + len(r.generated)
                       for r in self.active.values())
-        need = longest + g + 1
-        span = min(self.max_seq, max(128, -(-need // 128) * 128))
+        span = _span_bucket(longest + g + 1, self.max_seq)
         emitted, counts, self.cache = verify_step(
             self.params, self.cache, jnp.asarray(toks.astype(np.int32)),
             jnp.asarray(active_mask), self.config, attn_span=span)
@@ -480,18 +488,27 @@ class DecodeEngine:
                 _, scratch = prefill_step(self.params, scratch, toks,
                                           jnp.int32(0), jnp.int32(min(b, 1)),
                                           self.config)
-        if self._tp_decode is not None:
-            samp = SamplingArrays.build({}, self.max_batch)
-            toks_seq, *_ = self._tp_decode(
-                self.params, scratch, jnp.zeros((self.max_batch,), jnp.int32),
-                jnp.ones((self.max_batch,), bool), jax.random.PRNGKey(0),
-                samp, all_greedy=True, attn_span=self._attn_span())
+        # warm the decode *chunk* serving actually dispatches (greedy static
+        # variant), at every attention-span bucket the given prompt lengths
+        # reach — span is a static argname, so each bucket is its own compile
+        samp = SamplingArrays.build({}, self.max_batch)
+        spans = sorted({_span_bucket(b + self.steps_per_sync, self.max_seq)
+                        for b in buckets} | {128})
+        zero_toks = jnp.zeros((self.max_batch,), jnp.int32)
+        all_active = jnp.ones((self.max_batch,), bool)
+        for span in spans:
+            if self._tp_decode is not None:
+                toks_seq, _, scratch, *_ = self._tp_decode(
+                    self.params, scratch, zero_toks, all_active,
+                    jax.random.PRNGKey(0), samp, all_greedy=True,
+                    attn_span=span)
+            else:
+                toks_seq, _, scratch, *_ = decode_chunk(
+                    self.params, scratch, zero_toks, all_active,
+                    jax.random.PRNGKey(0), samp, self.config,
+                    n_steps=self.steps_per_sync, all_greedy=True,
+                    attn_span=span)
             jax.block_until_ready(toks_seq)
-        else:
-            logits, _ = decode_step(
-                self.params, scratch, jnp.zeros((self.max_batch,), jnp.int32),
-                jnp.ones((self.max_batch,), bool), self.config)
-            jax.block_until_ready(logits)
 
     # -- failure recovery: deterministic snapshot / restart ---------------
     def save_state(self, path: str) -> None:
@@ -635,12 +652,14 @@ class DecodeEngine:
                 dispatched += self.steps_per_sync
                 if len(inflight) < depth:
                     continue
-                emitted, finished_any = self._collect_chunk(
-                    *inflight.popleft())
+                emitted, _ = self._collect_chunk(*inflight.popleft())
                 dispatched -= self.steps_per_sync
                 self.metrics.record(emitted, _time.perf_counter() - t0)
                 t0 = _time.perf_counter()
-                if (finished_any and self.waiting) or not self.active:
+                # re-admit when a slot is actually free (a request can also
+                # retire at _host_inputs time, before any chunk finishes it)
+                if not self.active or (self.waiting and
+                                       len(self.active) < self.max_batch):
                     break
             while inflight:
                 emitted, _ = self._collect_chunk(*inflight.popleft())

@@ -206,18 +206,23 @@ class QuantState:
             self.code = _codebook_for(self.quant_type)
 
     # --- pytree protocol -------------------------------------------------
+    # ``code`` is NOT a leaf: it is derived from quant_type (a fixed host
+    # codebook), so flowing it through jit would re-upload one small array
+    # per quantized tensor on every dispatch — pure overhead on a tunneled
+    # backend. Kernels take it as an in-trace numpy constant instead.
     def tree_flatten(self):
-        leaves = (self.absmax, self.code, self.offset, self.state2)
+        leaves = (self.absmax, self.offset, self.state2)
         aux = (self.shape, self.blocksize, self.quant_type, self.dtype)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        absmax, code, offset, state2 = leaves
+        absmax, offset, state2 = leaves
         shape, blocksize, quant_type, dtype = aux
         obj = cls.__new__(cls)
         obj.absmax = absmax
-        obj.code = code
+        obj.code = (_codebook_for(quant_type)
+                    if quant_type in ("nf4", "fp4") else None)
         obj.offset = offset
         obj.state2 = state2
         obj.shape = shape

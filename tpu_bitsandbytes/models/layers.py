@@ -294,6 +294,37 @@ def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None):
     return out.reshape(b, s, h, d).astype(q.dtype)
 
 
+def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None):
+    """GQA over **head-major** full-precision K/V (unquantized decode path).
+
+    q: [B, S, H, D]; k/v: [B, H_kv, T, D] — the KV cache's storage layout
+    (KVCache.read_raw), so the span slice feeds both contractions in place,
+    with no transposed copy (the same layout win gqa_attention_kv_quant
+    gives the quantized path). Same dtype policy as gqa_attention:
+    half-precision contracts natively with f32 accumulation, f32 stays f32.
+    """
+    b, s, h, d = q.shape
+    h_kv, t = k.shape[1], k.shape[2]
+    rep = h // h_kv
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    half = q.dtype in (jnp.bfloat16, jnp.float16)
+    if jax.default_backend() == "cpu":
+        half = False    # CPU DotThunk lacks bf16 kernels for some layouts
+    qg = q.reshape(b, s, h_kv, rep, d)
+    qc, kc = (qg, k.astype(q.dtype)) if half else (qg.astype(jnp.float32),
+                                                   k.astype(jnp.float32))
+    logits = jnp.einsum("bshrd,bhtd->bhrst", qc, kc,
+                        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(_causal_mask(s, t, causal_offset), logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    pc, vc = (probs.astype(q.dtype), v.astype(q.dtype)) if half else (
+        probs, v.astype(jnp.float32))
+    out = jnp.einsum("bhrst,bhtd->bshrd", pc, vc,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, s, h, d).astype(q.dtype)
+
+
 def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
                            causal_offset=None, scale=None):
     """GQA directly over int8 KV codes (decode fast path).

@@ -21,6 +21,7 @@ from .layers import (
     QLinear4,
     apply_rope,
     gqa_attention,
+    gqa_attention_hm,
     gqa_attention_kv_quant,
     linear_apply,
     rms_norm,
@@ -379,9 +380,13 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
         # bf16 MXU contractions (see gqa_attention_kv_quant)
         kq, ks, vq, vs = cache.read_raw(li, attn_span)
         attn = gqa_attention_kv_quant(q, kq, ks, vq, vs, causal_offset=pos2d)
-    else:
+    elif cache.quantized:
         k_all, v_all = cache.read(li, attn_span)
         attn = gqa_attention(q, k_all, v_all, causal_offset=pos2d)
+    else:
+        # unquantized cache: consume the head-major storage in place
+        k_hm, _, v_hm, _ = cache.read_raw(li, attn_span)
+        attn = gqa_attention_hm(q, k_hm, v_hm, causal_offset=pos2d)
     o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, s, -1))
     x = x + reduce_fn(o, layer["o_proj"])
     h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)
