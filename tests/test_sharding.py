@@ -291,6 +291,28 @@ class TestMeshEngine:
         out2 = run(stepper, pipelined=False)
         assert out2[0] == ref[0]
 
+    def test_engine_mesh_runtime_cache_matches_single_device(self, tp_model,
+                                                             rng):
+        """The production decode config — NF4 storage + int8 runtime
+        execution cache — must produce identical greedy tokens on the mesh
+        (w_cache/cache_scale shard like dense weights) and single-device."""
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg, params = tp_model
+        qparams = llama.quantize_params(params, blocksize=32,
+                                        dtype=jnp.float32)
+        prompts = [list(rng.integers(0, cfg.vocab_size, 5)) for _ in range(3)]
+        sp = SamplingParams(max_new_tokens=5)
+
+        single = DecodeEngine(qparams, cfg, max_batch=2, max_seq=64,
+                              runtime_cache="int8")
+        ref = single.generate(prompts, sp)
+
+        mesh = make_mesh(tp=4, dp=2)
+        multi = DecodeEngine(qparams, cfg, max_batch=2, max_seq=64,
+                             runtime_cache="int8", mesh=mesh)
+        out = multi.generate(prompts, sp)
+        assert out == ref
+
     def test_engine_mesh_batch_divisibility(self, tp_model):
         from tpu_bitsandbytes.engine import DecodeEngine
         cfg, params = tp_model
