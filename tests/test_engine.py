@@ -528,6 +528,58 @@ class TestPipelinedDispatch:
         assert [r.uid for r in e.finished] == [1, 3, 2]
 
 
+class TestBatchedAdmission:
+    """_admit groups same-bucket requests into ONE prefill_batch forward;
+    groups are padded to power-of-two R with copies of row 0 (duplicate
+    slots scatter value-identical rows). Must be token-identical to
+    per-request admission."""
+
+    def test_group_matches_sequential_admission(self, tiny_model, rng):
+        cfg, params = tiny_model
+        # 3 same-bucket prompts -> one R=3 group padded to r_pad=4 (row-0
+        # duplicate writes collide on slot 0) + 1 different-bucket prompt
+        prompts = [list(rng.integers(0, cfg.vocab_size, n))
+                   for n in (5, 6, 7, 20)]
+        sp = SamplingParams(max_new_tokens=5)
+
+        batched = DecodeEngine(params, cfg, max_batch=4, max_seq=64,
+                               quantized_kv=False)
+        got = batched.generate(prompts, sp, pipeline_depth=1)
+
+        # sequential oracle: one slot at a time (admission never groups)
+        seq = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                           quantized_kv=False)
+        for pr, out in zip(prompts, got):
+            ref = seq.generate([pr], sp, pipeline_depth=1)[0]
+            assert out == ref
+
+    def test_group_admission_single_dispatch(self, tiny_model, rng,
+                                             monkeypatch):
+        """All 4 same-bucket admissions go through one prefill_batch call."""
+        import tpu_bitsandbytes.engine.engine as eng_mod
+        cfg, params = tiny_model
+        calls = {"batch": 0, "single": 0}
+        orig_batch = eng_mod.prefill_batch
+        orig_single = eng_mod.prefill_step
+
+        def spy_batch(*a, **k):
+            calls["batch"] += 1
+            return orig_batch(*a, **k)
+
+        def spy_single(*a, **k):
+            calls["single"] += 1
+            return orig_single(*a, **k)
+
+        monkeypatch.setattr(eng_mod, "prefill_batch", spy_batch)
+        monkeypatch.setattr(eng_mod, "prefill_step", spy_single)
+        e = DecodeEngine(params, cfg, max_batch=4, max_seq=64,
+                         quantized_kv=False)
+        prompts = [list(rng.integers(0, cfg.vocab_size, 5))
+                   for _ in range(4)]
+        e.generate(prompts, SamplingParams(max_new_tokens=2))
+        assert calls["batch"] == 1 and calls["single"] == 0
+
+
 class TestEngineLimits:
     def test_long_prompt_truncated(self, tiny_model, rng):
         cfg, params = tiny_model

@@ -135,6 +135,36 @@ def prefill_step(params, cache: KVCache, tokens: jnp.ndarray, slot: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
+def prefill_batch(params, cache: KVCache, tokens: jnp.ndarray,
+                  slots: jnp.ndarray, true_lens: jnp.ndarray, key: jax.Array,
+                  samp, config: llama.LlamaConfig):
+    """Prefill R same-bucket requests in ONE forward: tokens [R, S_pad],
+    slots [R] (target cache slots), true_lens [R].
+
+    One [R, S_pad] forward streams the quantized weights once for all R
+    admissions (R separate [1, S_pad] prefills stream them R times — the
+    same amortization batching gives decode). Rows are scattered into their
+    slots; duplicate slots must be identical rows (the engine pads groups
+    to power-of-two R with copies of row 0, making colliding scatter
+    writes value-identical, hence order-independent). Positions beyond a
+    row's true_len write garbage KV under the standard contract (decode
+    overwrites position p before attending past it).
+
+    Returns (first_tokens [R] sampled per-row with ``samp``, cache).
+    """
+    logits, new_kv = llama.forward(params, tokens, config, return_kv=True)
+    pos = jnp.broadcast_to(jnp.arange(tokens.shape[1])[None, :], tokens.shape)
+    for li, (k, v) in enumerate(new_kv):
+        cache = cache.write_decode(li, k, v, pos, slots=slots)
+    cache = dataclasses.replace(
+        cache, lengths=cache.lengths.at[slots].set(true_lens))
+    last = jnp.take_along_axis(
+        logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]   # [R, V]
+    firsts = sample_batched(last.astype(jnp.float32), key, samp)
+    return firsts, cache
+
+
+@partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
 def prefill_step_spmd(params, cache: KVCache, tokens: jnp.ndarray,
                       slot: jnp.ndarray, true_len: jnp.ndarray,
                       config: llama.LlamaConfig):
@@ -267,6 +297,9 @@ class DecodeEngine:
     # -- engine steps -----------------------------------------------------
     def _admit(self):
         free = self._free_slots()
+        if not (free and self.waiting):
+            return
+        taken = []
         while free and self.waiting:
             slot = free.pop(0)
             req = self.waiting.pop(0)
@@ -274,23 +307,79 @@ class DecodeEngine:
             if len(req.prompt) >= self.max_seq:
                 # keep the most recent context that still leaves room to decode
                 req.prompt = req.prompt[-(self.max_seq - 1):]
-            s = len(req.prompt)
-            s_pad = _bucket(s, self.max_seq)
-            toks = np.zeros((1, s_pad), np.int32)
-            toks[0, :s] = req.prompt
-            if self._tp_prefill is not None:
-                last_logits, self.cache = self._tp_prefill(
-                    self.params, self.cache, jnp.asarray(toks),
-                    jnp.int32(slot), jnp.int32(s))
-            else:
-                last_logits, self.cache = prefill_step(
-                    self.params, self.cache, jnp.asarray(toks),
-                    jnp.int32(slot), jnp.int32(s), self.config)
-            self.key, sub = jax.random.split(self.key)
-            # device scalar — the host sync is deferred to _host_inputs so
-            # back-to-back admissions pipeline their prefill dispatches
-            req.pending_first = sample(last_logits[None, :], sub,
-                                       req.params)[0]
+            taken.append((slot, req))
+        if self._tp_prefill is not None:
+            # mesh path: per-request shard_map prefill (dp-ownership-masked
+            # KV writes don't batch across slots owned by different groups)
+            for slot, req in taken:
+                self._admit_one(slot, req)
+            return
+        # single-device: group same-bucket admissions into ONE forward —
+        # R requests stream the quantized weights once instead of R times
+        groups: Dict[int, list] = {}
+        for slot, req in taken:
+            groups.setdefault(_bucket(len(req.prompt), self.max_seq),
+                              []).append((slot, req))
+        for s_pad, grp in sorted(groups.items()):
+            if len(grp) == 1:
+                self._admit_one(*grp[0])
+                continue
+            self._admit_group(s_pad, grp)
+
+    def _admit_one(self, slot: int, req: Request):
+        s = len(req.prompt)
+        s_pad = _bucket(s, self.max_seq)
+        toks = np.zeros((1, s_pad), np.int32)
+        toks[0, :s] = req.prompt
+        if self._tp_prefill is not None:
+            last_logits, self.cache = self._tp_prefill(
+                self.params, self.cache, jnp.asarray(toks),
+                jnp.int32(slot), jnp.int32(s))
+        else:
+            last_logits, self.cache = prefill_step(
+                self.params, self.cache, jnp.asarray(toks),
+                jnp.int32(slot), jnp.int32(s), self.config)
+        self.key, sub = jax.random.split(self.key)
+        # device scalar — the host sync is deferred to _host_inputs so
+        # back-to-back admissions pipeline their prefill dispatches
+        req.pending_first = sample(last_logits[None, :], sub,
+                                   req.params)[0]
+        self.active[slot] = req
+
+    def _admit_group(self, s_pad: int, grp: list):
+        """Prefill a same-bucket admission group in one dispatch. R is
+        padded to a power of two (bounded compile count) with copies of
+        row 0 — duplicate rows make the colliding scatter writes
+        value-identical, so no masking is needed."""
+        r = len(grp)
+        r_pad = 1
+        while r_pad < r:
+            r_pad *= 2
+        toks = np.zeros((r_pad, s_pad), np.int32)
+        slots = np.zeros((r_pad,), np.int32)
+        lens = np.ones((r_pad,), np.int32)
+        t = np.zeros((r_pad,), np.float32)
+        k = np.zeros((r_pad,), np.int32)
+        p = np.ones((r_pad,), np.float32)
+        e = np.full((r_pad,), -1, np.int32)
+        for i, (slot, req) in enumerate(grp):
+            toks[i, :len(req.prompt)] = req.prompt
+            slots[i] = slot
+            lens[i] = len(req.prompt)
+            sp = req.params
+            t[i], k[i], p[i] = sp.temperature, sp.top_k, sp.top_p
+            e[i] = -1 if sp.eos_token_id is None else sp.eos_token_id
+        for i in range(r, r_pad):       # pad rows duplicate row 0
+            toks[i], slots[i], lens[i] = toks[0], slots[0], lens[0]
+            t[i], k[i], p[i], e[i] = t[0], k[0], p[0], e[0]
+        samp = SamplingArrays(jnp.asarray(t), jnp.asarray(k),
+                              jnp.asarray(p), jnp.asarray(e))
+        self.key, sub = jax.random.split(self.key)
+        firsts, self.cache = prefill_batch(
+            self.params, self.cache, jnp.asarray(toks), jnp.asarray(slots),
+            jnp.asarray(lens), sub, samp, self.config)
+        for i, (slot, req) in enumerate(grp):
+            req.pending_first = firsts[i]       # device scalar, lazy sync
             self.active[slot] = req
 
     def _attn_span(self, extra_steps: int = 0) -> int:

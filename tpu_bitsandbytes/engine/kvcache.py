@@ -124,19 +124,26 @@ class KVCache:
                 (layer, slot, 0, start, 0))
         return dataclasses.replace(self, k=k, v=v)
 
-    def write_decode(self, layer: int, k_new, v_new, positions) -> "KVCache":
+    def write_decode(self, layer: int, k_new, v_new, positions,
+                     slots=None) -> "KVCache":
         """Scatter per-slot tokens: k_new/v_new [B, S, H, D] written at
         ``positions`` [B, S] (or the single-token case [B, 1, H, D] with
         positions [B]). S > 1 is the speculative verify step — draft tokens
         write their KV up front; rejected positions hold stale entries that
         the causal mask keeps unattended until they are overwritten (the
-        same contract as prefill's padding garbage)."""
-        b = self.batch
+        same contract as prefill's padding garbage).
+
+        ``slots`` (int32 [R], optional): scatter row r into cache slot
+        ``slots[r]`` instead of slot r — the batched-prefill path, where R
+        admitted requests land in arbitrary slots. Duplicate slots must
+        carry identical rows (the engine pads admission groups with copies
+        of row 0, so colliding writes are value-identical)."""
+        b = k_new.shape[0] if slots is not None else self.batch
         h = self.num_kv_heads
         if positions.ndim == 1:
             positions = positions[:, None]
         # head-major scatter indices broadcasting to [B, H, S]
-        b_idx = jnp.arange(b)[:, None, None]
+        b_idx = (jnp.arange(b) if slots is None else slots)[:, None, None]
         h_idx = jnp.arange(h)[None, :, None]
         pos = positions[:, None, :]
         k_hm = jnp.swapaxes(k_new, 1, 2)        # [B, H, S, D]
