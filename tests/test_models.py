@@ -157,3 +157,80 @@ class TestFusedProjections:
                                   fuse_projections=True),
             cfg, max_batch=1, max_seq=64, quantized_kv=False)
         assert e_u.generate([prompt], sp) == e_f.generate([prompt], sp)
+
+
+class TestQwen2:
+    """Qwen2 family (the reference demo's model, demo/chat.py): GQA +
+    q/k/v biases + tied embeddings on the same Llama-shaped trunk."""
+
+    def _params(self, rng, cfg):
+        return llama.init_params(jax.random.PRNGKey(3), cfg,
+                                 dtype=jnp.float32)
+
+    def test_biased_init_and_forward(self, rng):
+        cfg = llama.LlamaConfig.tiny_qwen2()
+        params = self._params(rng, cfg)
+        l0 = params["layers"][0]
+        assert isinstance(l0["q_proj"], dict) and "b" in l0["q_proj"]
+        assert not isinstance(l0["o_proj"], dict)
+        assert "lm_head" not in params          # tied embeddings
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)))
+        logits = llama.forward(params, toks, cfg)
+        assert logits.shape == (2, 6, cfg.vocab_size)
+        assert np.all(np.isfinite(np.asarray(logits, np.float32)))
+
+    def test_bias_actually_applied(self, rng):
+        cfg = llama.LlamaConfig.tiny_qwen2()
+        params = self._params(rng, cfg)
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 4)))
+        base = np.asarray(llama.forward(params, toks, cfg), np.float32)
+        import copy
+        p2 = jax.tree_util.tree_map(lambda x: x, params)
+        p2["layers"] = [dict(l) for l in params["layers"]]
+        p2["layers"][0] = dict(p2["layers"][0])
+        p2["layers"][0]["q_proj"] = {
+            "w": params["layers"][0]["q_proj"]["w"],
+            "b": params["layers"][0]["q_proj"]["b"] + 1.0}
+        alt = np.asarray(llama.forward(p2, toks, cfg), np.float32)
+        assert not np.allclose(base, alt)
+
+    @pytest.mark.parametrize("fuse", [False, True])
+    def test_quantized_close(self, rng, fuse):
+        cfg = llama.LlamaConfig.tiny_qwen2()
+        params = self._params(rng, cfg)
+        qp = llama.quantize_params(params, dtype=jnp.float32,
+                                   fuse_projections=fuse)
+        if fuse:
+            qkv = qp["layers"][0]["qkv_proj"]
+            assert qkv.bias is not None
+            assert qkv.bias.shape[0] == qkv.shape[0]
+            assert qp["layers"][0]["gateup_proj"].bias is None
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)))
+        lf = np.asarray(llama.forward(params, toks, cfg), np.float32)
+        lq = np.asarray(llama.forward(qp, toks, cfg), np.float32)
+        c = (lf.ravel() @ lq.ravel()) / (
+            np.linalg.norm(lf) * np.linalg.norm(lq) + 1e-9)
+        assert c > 0.95
+
+    def test_fused_bias_matches_unfused(self, rng):
+        """Fused qkv bias interleave must reproduce the unfused outputs
+        exactly at the quantized level (same codes, biases re-ordered)."""
+        cfg = llama.LlamaConfig.tiny_qwen2()
+        params = self._params(rng, cfg)
+        q_unf = llama.quantize_params(params, dtype=jnp.float32)
+        q_fus = llama.quantize_params(params, dtype=jnp.float32,
+                                      fuse_projections=True)
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)))
+        a = np.asarray(llama.forward(q_unf, toks, cfg), np.float32)
+        b = np.asarray(llama.forward(q_fus, toks, cfg), np.float32)
+        assert np.allclose(a, b, atol=1e-4)
+
+    def test_engine_decode(self, rng):
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg = llama.LlamaConfig.tiny_qwen2()
+        params = llama.quantize_params(self._params(rng, cfg))
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=64)
+        prompts = [list(map(int, rng.integers(0, cfg.vocab_size, 5)))
+                   for _ in range(2)]
+        outs = e.generate(prompts, SamplingParams(max_new_tokens=4))
+        assert all(len(o) == 4 for o in outs)

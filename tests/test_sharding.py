@@ -319,3 +319,89 @@ class TestMeshEngine:
         mesh = make_mesh(tp=4, dp=2)
         with pytest.raises(ValueError, match="must divide"):
             DecodeEngine(params, cfg, max_batch=3, mesh=mesh)
+
+
+class TestTPQwen2Bias:
+    """Qwen2-style q/k/v biases under TP: column-parallel bias shards with
+    its rows (quantized QLinear4.bias and fp {'w','b'} dict leaves both)."""
+
+    @pytest.fixture(scope="class")
+    def qwen_model(self):
+        cfg = llama.LlamaConfig(vocab_size=512, hidden_size=128,
+                                intermediate_size=256, num_layers=2,
+                                num_heads=4, num_kv_heads=4, max_seq_len=64,
+                                dtype=jnp.float32, attention_bias=True,
+                                rope_theta=1000000.0)
+        params = llama.init_params(jax.random.PRNGKey(5), cfg,
+                                   dtype=jnp.float32)
+        return cfg, params
+
+    @pytest.mark.parametrize("quantize_weights", [False, True])
+    def test_tp_biased_decode_matches_single_device(self, qwen_model, rng,
+                                                    quantize_weights):
+        cfg, params = qwen_model
+        if quantize_weights:
+            params = llama.quantize_params(params, blocksize=32,
+                                           dtype=jnp.float32)
+            assert params["layers"][0]["q_proj"].bias is not None
+        mesh = make_mesh(tp=4, dp=2)
+        sharded = shard_params(params, mesh)
+        if quantize_weights:
+            assert (sharded["layers"][0]["q_proj"].bias.sharding.spec
+                    == P("tp"))
+        else:
+            assert (sharded["layers"][0]["q_proj"]["b"].sharding.spec
+                    == P("tp"))
+        batch = 4
+        cache = KVCache.create(cfg.num_layers, batch, 32, cfg.num_kv_heads,
+                               cfg.hd, quantized=False, dtype=jnp.float32)
+        cache = jax.device_put(
+            cache, jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), kv_cache_spec(cache),
+                is_leaf=lambda x: isinstance(x, P)))
+        step = make_tp_decode_step(mesh, sharded, cfg, cache)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch,)),
+                             dtype=jnp.int32)
+        active = jnp.ones((batch,), bool)
+        logits_tp, _ = step(sharded, cache, tokens, active)
+
+        from tpu_bitsandbytes.engine import decode_step
+        cache_ref = KVCache.create(cfg.num_layers, batch, 32,
+                                   cfg.num_kv_heads, cfg.hd, quantized=False,
+                                   dtype=jnp.float32)
+        logits_ref, _ = decode_step(params, cache_ref, tokens, active, cfg)
+        np.testing.assert_allclose(np.asarray(logits_tp),
+                                   np.asarray(logits_ref), atol=2e-3)
+
+    def test_tp_fused_biased_projections(self, qwen_model, rng):
+        """Fused qkv with interleaved biases stays TP-shardable and exact
+        vs the unfused quantized model."""
+        cfg, params = qwen_model
+        q_unf = llama.quantize_params(params, blocksize=32,
+                                      dtype=jnp.float32)
+        q_fus = llama.quantize_params(params, blocksize=32,
+                                      dtype=jnp.float32,
+                                      fuse_projections=True, tp=4)
+        mesh = make_mesh(tp=4, dp=2)
+        sh_f = shard_params(q_fus, mesh)
+        assert sh_f["layers"][0]["qkv_proj"].bias.sharding.spec == P("tp")
+        batch = 4
+        cache = KVCache.create(cfg.num_layers, batch, 32, cfg.num_kv_heads,
+                               cfg.hd, quantized=False, dtype=jnp.float32)
+        cache = jax.device_put(
+            cache, jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), kv_cache_spec(cache),
+                is_leaf=lambda x: isinstance(x, P)))
+        step = make_tp_decode_step(mesh, sh_f, cfg, cache)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch,)),
+                             dtype=jnp.int32)
+        active = jnp.ones((batch,), bool)
+        logits_tp, _ = step(sh_f, cache, tokens, active)
+
+        from tpu_bitsandbytes.engine import decode_step
+        cache_ref = KVCache.create(cfg.num_layers, batch, 32,
+                                   cfg.num_kv_heads, cfg.hd, quantized=False,
+                                   dtype=jnp.float32)
+        logits_ref, _ = decode_step(q_unf, cache_ref, tokens, active, cfg)
+        np.testing.assert_allclose(np.asarray(logits_tp),
+                                   np.asarray(logits_ref), atol=2e-3)

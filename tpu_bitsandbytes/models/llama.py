@@ -45,6 +45,11 @@ class LlamaConfig:
     max_seq_len: int = 2048
     dtype: Any = jnp.bfloat16
     tie_embeddings: bool = False
+    # Qwen2-style attention: q/k/v projections carry biases (the reference's
+    # demo model, Qwen2.5 — demo/chat.py). Bias-ness is ultimately a property
+    # of the param tree (dict {'w','b'} or QLinear4.bias leaves); this flag
+    # drives init_params and documents the family.
+    attention_bias: bool = False
 
     @property
     def hd(self) -> int:
@@ -70,6 +75,34 @@ class LlamaConfig:
     def llama2_70b() -> "LlamaConfig":
         return LlamaConfig(hidden_size=8192, intermediate_size=28672,
                            num_layers=80, num_heads=64, num_kv_heads=8)
+
+    # Qwen2 family (the reference demo's model class — demo/chat.py uses
+    # Qwen2.5-0.5B-Instruct): GQA + attention biases + tied embeddings on
+    # the small sizes, high rope_theta.
+    @staticmethod
+    def tiny_qwen2() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=512, hidden_size=128,
+                           intermediate_size=256, num_layers=2, num_heads=4,
+                           num_kv_heads=2, max_seq_len=128,
+                           rope_theta=1000000.0, attention_bias=True,
+                           tie_embeddings=True)
+
+    @staticmethod
+    def qwen2_5_0_5b() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=151936, hidden_size=896,
+                           intermediate_size=4864, num_layers=24,
+                           num_heads=14, num_kv_heads=2,
+                           rope_theta=1000000.0, rms_eps=1e-6,
+                           max_seq_len=32768, attention_bias=True,
+                           tie_embeddings=True)
+
+    @staticmethod
+    def qwen2_5_7b() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=152064, hidden_size=3584,
+                           intermediate_size=18944, num_layers=28,
+                           num_heads=28, num_kv_heads=4,
+                           rope_theta=1000000.0, rms_eps=1e-6,
+                           max_seq_len=32768, attention_bias=True)
 
 
 _LINEAR_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
@@ -97,10 +130,17 @@ def init_params(key: jax.Array, config: LlamaConfig,
                 * (0.02)).astype(dtype)
 
     layers = []
+    biased = ("q_proj", "k_proj", "v_proj") if config.attention_bias else ()
     for li in range(config.num_layers):
-        lk = jax.random.split(keys[li], len(_LINEAR_NAMES))
-        layer = {name: dense(lk[i], shapes[name])
-                 for i, name in enumerate(_LINEAR_NAMES)}
+        lk = jax.random.split(keys[li], 2 * len(_LINEAR_NAMES))
+        layer = {}
+        for i, name in enumerate(_LINEAR_NAMES):
+            w = dense(lk[i], shapes[name])
+            if name in biased:
+                b = dense(lk[len(_LINEAR_NAMES) + i], shapes[name][:1])
+                layer[name] = {"w": w, "b": b}
+            else:
+                layer[name] = w
         layer["input_norm"] = jnp.ones((h,), dtype)
         layer["post_attn_norm"] = jnp.ones((h,), dtype)
         layers.append(layer)
@@ -159,20 +199,41 @@ def quantize_params(params: Params, blocksize: int = 64,
     out = dict(params)
     out["layers"] = []
 
-    def q(w):
+    def wb(leaf):
+        """(weight, bias) from a raw array or a {'w','b'} dict leaf."""
+        if isinstance(leaf, dict):
+            return leaf["w"], leaf.get("b")
+        return leaf, None
+
+    def q(leaf):
+        w, b = wb(leaf)
         return QLinear4.quantize(
             w.astype(jnp.float32), blocksize=blocksize, quant_type=quant_type,
-            dtype=dtype, compress_statistics=compress_statistics)
+            dtype=dtype, bias=b, compress_statistics=compress_statistics)
+
+    def q_fused(leaves):
+        """Quantize a row-interleaved fusion of several (w, b?) leaves.
+        Biases interleave with their rows; all-None biases fuse to None."""
+        ws, bs = zip(*(wb(l) for l in leaves))
+        fused_b = None
+        if any(b is not None for b in bs):
+            bs = [jnp.zeros(w.shape[:1], w.dtype) if b is None else b
+                  for w, b in zip(ws, bs)]
+            fused_b = _interleave_rows(bs, tp)
+        return QLinear4.quantize(
+            _interleave_rows(list(ws), tp).astype(jnp.float32),
+            blocksize=blocksize, quant_type=quant_type, dtype=dtype,
+            bias=fused_b, compress_statistics=compress_statistics)
 
     for layer in params["layers"]:
         ql = dict(layer)
         if fuse_projections:
             for name in _LINEAR_NAMES:
                 ql.pop(name, None)
-            ql["qkv_proj"] = q(_interleave_rows(
-                [layer["q_proj"], layer["k_proj"], layer["v_proj"]], tp))
-            ql["gateup_proj"] = q(_interleave_rows(
-                [layer["gate_proj"], layer["up_proj"]], tp))
+            ql["qkv_proj"] = q_fused(
+                [layer["q_proj"], layer["k_proj"], layer["v_proj"]])
+            ql["gateup_proj"] = q_fused(
+                [layer["gate_proj"], layer["up_proj"]])
             ql["o_proj"] = q(layer["o_proj"])
             ql["down_proj"] = q(layer["down_proj"])
         else:

@@ -60,6 +60,11 @@ def _linear_spec(w, col: bool):
             w_cache=None if w.w_cache is None else two_d,
             cache_scale=(None if w.cache_scale is None
                          else (P("tp") if col else P())))
+    if isinstance(w, dict):                       # fp {'w','b'} leaf
+        spec = {"w": P("tp", None) if col else P(None, "tp")}
+        if w.get("b") is not None:
+            spec["b"] = P("tp") if col else P()
+        return spec
     return P("tp", None) if col else P(None, "tp")
 
 

@@ -46,11 +46,17 @@ def _localize(w, strip_bias: bool = False):
             st = dataclasses.replace(st, shape=(n_l, nb_l), blocksize=nb_l)
         return dataclasses.replace(w, shape=(n, k), absmax_state=st,
                                    bias=None if strip_bias else w.bias)
+    if isinstance(w, dict) and strip_bias:        # fp {'w','b'} leaf
+        return {"w": w["w"], "b": None}
     return w
 
 
 def _row_bias(w):
-    return w.bias if isinstance(w, QLinear4) else None
+    if isinstance(w, QLinear4):
+        return w.bias
+    if isinstance(w, dict):
+        return w.get("b")
+    return None
 
 
 def _tp_decode_impl(params, cache: KVCache, tokens, active,

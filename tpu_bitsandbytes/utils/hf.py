@@ -28,9 +28,16 @@ def _np(t) -> np.ndarray:
 
 
 def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
-    """Build LlamaConfig from a transformers LlamaConfig-like object/dict."""
+    """Build LlamaConfig from a transformers Llama/Qwen2 config-like
+    object/dict. Qwen2 (the reference demo's family, demo/chat.py) maps onto
+    the same architecture with ``attention_bias=True``."""
     get = (hf_config.get if isinstance(hf_config, dict)
            else lambda k, d=None: getattr(hf_config, k, d))
+    attention_bias = get("attention_bias")
+    if attention_bias is None:
+        # Qwen2's HF config has no attention_bias field — the family always
+        # carries q/k/v biases.
+        attention_bias = get("model_type") in ("qwen2", "qwen2_moe")
     return llama.LlamaConfig(
         vocab_size=get("vocab_size"),
         hidden_size=get("hidden_size"),
@@ -39,10 +46,12 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
         num_heads=get("num_attention_heads"),
         num_kv_heads=get("num_key_value_heads",
                          get("num_attention_heads")),
+        head_dim=get("head_dim"),
         rope_theta=get("rope_theta", 10000.0),
         rms_eps=get("rms_norm_eps", 1e-5),
         max_seq_len=get("max_position_embeddings", 2048),
         tie_embeddings=bool(get("tie_word_embeddings", False)),
+        attention_bias=bool(attention_bias),
     )
 
 
@@ -69,25 +78,33 @@ def llama_params_from_state_dict(state_dict: Dict[str, Any],
         raise KeyError(name)
 
     def lin(name):
-        w = jnp.asarray(grab(name))
+        """Linear leaf from ``<name>.weight`` (+ optional ``<name>.bias``,
+        e.g. Qwen2 q/k/v): quantized → QLinear4 with bias; fp → raw array
+        or {'w','b'} dict."""
+        w = jnp.asarray(grab(name + ".weight"))
+        try:
+            b = jnp.asarray(grab(name + ".bias")).astype(dtype)
+        except KeyError:
+            b = None
         if quantize:
             return QLinear4.quantize(
                 w.astype(jnp.float32), blocksize=blocksize,
-                quant_type=quant_type, dtype=dtype,
+                quant_type=quant_type, dtype=dtype, bias=b,
                 compress_statistics=compress_statistics)
-        return w.astype(dtype)
+        w = w.astype(dtype)
+        return w if b is None else {"w": w, "b": b}
 
     layers = []
     for li in range(config.num_layers):
         p = f"layers.{li}."
         layers.append({
-            "q_proj": lin(p + "self_attn.q_proj.weight"),
-            "k_proj": lin(p + "self_attn.k_proj.weight"),
-            "v_proj": lin(p + "self_attn.v_proj.weight"),
-            "o_proj": lin(p + "self_attn.o_proj.weight"),
-            "gate_proj": lin(p + "mlp.gate_proj.weight"),
-            "up_proj": lin(p + "mlp.up_proj.weight"),
-            "down_proj": lin(p + "mlp.down_proj.weight"),
+            "q_proj": lin(p + "self_attn.q_proj"),
+            "k_proj": lin(p + "self_attn.k_proj"),
+            "v_proj": lin(p + "self_attn.v_proj"),
+            "o_proj": lin(p + "self_attn.o_proj"),
+            "gate_proj": lin(p + "mlp.gate_proj"),
+            "up_proj": lin(p + "mlp.up_proj"),
+            "down_proj": lin(p + "mlp.down_proj"),
             "input_norm": jnp.asarray(
                 grab(p + "input_layernorm.weight")).astype(dtype),
             "post_attn_norm": jnp.asarray(
@@ -100,7 +117,7 @@ def llama_params_from_state_dict(state_dict: Dict[str, Any],
     }
     if not config.tie_embeddings:
         try:
-            params["lm_head"] = lin("lm_head.weight")
+            params["lm_head"] = lin("lm_head")
         except KeyError:
             pass  # tied
     return params
