@@ -157,3 +157,78 @@ class TestQwen2VsHF:
                            quantized_kv=False)
         got = eng.generate([prompt], SamplingParams(max_new_tokens=n_new))[0]
         assert got == expect
+
+
+class TestMistralVsHF:
+    """Mistral: sliding-window attention on the Llama trunk. The window (8)
+    is far smaller than the test sequence (24), so any masking error is
+    visible in the logits."""
+
+    @pytest.fixture(scope="class")
+    def hf_model(self):
+        torch.manual_seed(2)
+        config = transformers.MistralConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rms_norm_eps=1e-5, rope_theta=10000.0, sliding_window=8,
+            tie_word_embeddings=False, attn_implementation="eager")
+        model = transformers.MistralForCausalLM(config).float().eval()
+        return model, config
+
+    def test_config_mapping(self, hf_model):
+        _, config = hf_model
+        cfg = llama_config_from_hf(config)
+        assert cfg.sliding_window == 8
+        # Qwen2's ungated sliding_window must NOT map through
+        qcfg = llama_config_from_hf({
+            "vocab_size": 8, "hidden_size": 8, "intermediate_size": 8,
+            "num_hidden_layers": 1, "num_attention_heads": 1,
+            "model_type": "qwen2", "sliding_window": 4096,
+            "use_sliding_window": False})
+        assert qcfg.sliding_window is None
+
+    def test_fp32_logits_match_beyond_window(self, hf_model, rng):
+        model, config = hf_model
+        tokens = rng.integers(0, config.vocab_size, (2, 24))
+        ours, _ = _logits_ours(model.state_dict(), config, tokens)
+        _agree(ours, _logits_hf(model, tokens), atol=2e-4)
+
+    def test_window_actually_masks(self, hf_model, rng):
+        """Perturbing a token >window positions back must NOT change the
+        last-token logits; perturbing one inside the window must."""
+        model, config = hf_model
+        base = rng.integers(0, config.vocab_size, (1, 24))
+        far, near = base.copy(), base.copy()
+        far[0, 2] = (far[0, 2] + 1) % config.vocab_size     # 21 back, > 2*8
+        near[0, 22] = (near[0, 22] + 1) % config.vocab_size  # 1 back
+        sd, cfg = model.state_dict(), config
+        lb, _ = _logits_ours(sd, cfg, base)
+        lf, _ = _logits_ours(sd, cfg, far)
+        ln, _ = _logits_ours(sd, cfg, near)
+        # note: with 2 layers the receptive field is 2*window; token 2 is
+        # 21 positions back from the last token, beyond 2*8-1=15
+        assert np.allclose(lb[0, -1], lf[0, -1], atol=1e-5)
+        assert not np.allclose(lb[0, -1], ln[0, -1], atol=1e-3)
+
+    def test_engine_decode_matches_hf_generate(self, hf_model, rng):
+        """Greedy decode through the engine's windowed KV-cache attention
+        must equal HF generate past the window boundary."""
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        import dataclasses
+        model, config = hf_model
+        cfg = dataclasses.replace(llama_config_from_hf(config),
+                                  dtype=jnp.float32)
+        params = llama_params_from_state_dict(model.state_dict(), cfg,
+                                              dtype=jnp.float32)
+        prompt = list(map(int, rng.integers(0, config.vocab_size, 6)))
+        n_new = 12   # 6 + 12 = 18 > window 8: decode crosses the boundary
+        with torch.no_grad():
+            hf_out = model.generate(
+                torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False,
+                pad_token_id=0)
+        expect = hf_out[0, len(prompt):].tolist()
+        eng = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                           quantized_kv=False)
+        got = eng.generate([prompt], SamplingParams(max_new_tokens=n_new))[0]
+        assert got == expect

@@ -248,17 +248,29 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
 # --- attention --------------------------------------------------------------
 
 
-def _causal_mask(s, t, causal_offset):
+def _causal_mask(s, t, causal_offset, window=None):
+    """Causal (and optionally sliding-window) attention mask.
+
+    ``window``: Mistral-style sliding window — a query at position p attends
+    to keys in (p - window, p]. None = full causal.
+    """
     if causal_offset is None:
         qpos = jnp.arange(s)[:, None]
         kpos = jnp.arange(t)[None, :]
-        return (kpos <= qpos)[None, None, None, :, :]       # [1,1,1,S,T]
+        keep = kpos <= qpos
+        if window is not None:
+            keep &= kpos > qpos - window
+        return keep[None, None, None, :, :]                 # [1,1,1,S,T]
     kpos = jnp.arange(t)[None, None, :]
-    mask = (kpos <= causal_offset[:, :, None])              # [B, S, T]
-    return mask[:, None, None, :, :]                        # [B,1,1,S,T]
+    off = causal_offset[:, :, None]
+    keep = kpos <= off                                      # [B, S, T]
+    if window is not None:
+        keep &= kpos > off - window
+    return keep[:, None, None, :, :]                        # [B,1,1,S,T]
 
 
-def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None):
+def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None,
+                  window=None):
     """Grouped-query attention over full K/V.
 
     q: [B, S, H, D]; k/v: [B, T, H_kv, D]. Returns [B, S, H, D].
@@ -284,7 +296,7 @@ def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None):
     logits = jnp.einsum("bshrd,bthd->bhrst", qc, kc,
                         preferred_element_type=jnp.float32) * scale
     if mask is None:
-        mask = _causal_mask(s, t, causal_offset)
+        mask = _causal_mask(s, t, causal_offset, window)
     logits = jnp.where(mask, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     pc, vc = (probs.astype(q.dtype), v.astype(q.dtype)) if half else (
@@ -294,7 +306,8 @@ def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None):
     return out.reshape(b, s, h, d).astype(q.dtype)
 
 
-def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None):
+def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None,
+                     window=None):
     """GQA over **head-major** full-precision K/V (unquantized decode path).
 
     q: [B, S, H, D]; k/v: [B, H_kv, T, D] — the KV cache's storage layout
@@ -316,7 +329,8 @@ def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None):
                                                    k.astype(jnp.float32))
     logits = jnp.einsum("bshrd,bhtd->bhrst", qc, kc,
                         preferred_element_type=jnp.float32) * scale
-    logits = jnp.where(_causal_mask(s, t, causal_offset), logits, -1e30)
+    logits = jnp.where(_causal_mask(s, t, causal_offset, window),
+                       logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     pc, vc = (probs.astype(q.dtype), v.astype(q.dtype)) if half else (
         probs, v.astype(jnp.float32))
@@ -326,7 +340,7 @@ def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None):
 
 
 def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
-                           causal_offset=None, scale=None):
+                           causal_offset=None, scale=None, window=None):
     """GQA directly over int8 KV codes (decode fast path).
 
     q: [B, S, H, D]; k_q/v_q: int8 **head-major** [B, H_kv, T, D];
@@ -364,7 +378,8 @@ def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
     # k_scale [B,H_kv,T] -> [B,H_kv,1,1,T] on the logits' output axis
     ks = (k_scale * (scale / 127.0))[:, :, None, None, :]
     logits = logits * ks
-    logits = jnp.where(_causal_mask(s, t, causal_offset), logits, -1e30)
+    logits = jnp.where(_causal_mask(s, t, causal_offset, window),
+                       logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     # v_scale folds on the contraction axis t, before the PV product
     vs = (v_scale / 127.0)[:, :, None, None, :]

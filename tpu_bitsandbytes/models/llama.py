@@ -50,6 +50,9 @@ class LlamaConfig:
     # of the param tree (dict {'w','b'} or QLinear4.bias leaves); this flag
     # drives init_params and documents the family.
     attention_bias: bool = False
+    # Mistral-style sliding-window attention: each query attends to the last
+    # ``sliding_window`` positions only. None = full causal (Llama/Qwen2).
+    sliding_window: Optional[int] = None
 
     @property
     def hd(self) -> int:
@@ -95,6 +98,22 @@ class LlamaConfig:
                            rope_theta=1000000.0, rms_eps=1e-6,
                            max_seq_len=32768, attention_bias=True,
                            tie_embeddings=True)
+
+    # Mistral family: Llama trunk + sliding-window attention.
+    @staticmethod
+    def tiny_mistral() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=512, hidden_size=128,
+                           intermediate_size=256, num_layers=2, num_heads=4,
+                           num_kv_heads=2, max_seq_len=128,
+                           sliding_window=16)
+
+    @staticmethod
+    def mistral_7b() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=32000, hidden_size=4096,
+                           intermediate_size=14336, num_layers=32,
+                           num_heads=32, num_kv_heads=8,
+                           max_seq_len=32768, sliding_window=4096,
+                           rms_eps=1e-5, rope_theta=10000.0)
 
     @staticmethod
     def qwen2_5_7b() -> "LlamaConfig":
@@ -296,10 +315,11 @@ def _attention_block(layer, x, cos, sin, config: LlamaConfig, cache_kv=None,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     if cache_kv is None:
-        attn = gqa_attention(q, k, v)
+        attn = gqa_attention(q, k, v, window=config.sliding_window)
     else:
         k_all, v_all, causal_offset = cache_kv
-        attn = gqa_attention(q, k_all, v_all, causal_offset=causal_offset)
+        attn = gqa_attention(q, k_all, v_all, causal_offset=causal_offset,
+                             window=config.sliding_window)
     out = linear_apply(layer["o_proj"], attn.reshape(b, s, -1))
     return out, (k, v)
 
@@ -341,7 +361,7 @@ def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
         v = linear_apply(wrap(layer["v_proj"]), h).reshape(b, s, n_kv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    attn = gqa_attention(q, k, v)
+    attn = gqa_attention(q, k, v, window=config.sliding_window)
     o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, s, -1))
     x = x + reduce_fn(o, layer["o_proj"])
     h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)
@@ -440,14 +460,17 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
         # scale-folded int8 attention: no dequantized K/V materialization,
         # bf16 MXU contractions (see gqa_attention_kv_quant)
         kq, ks, vq, vs = cache.read_raw(li, attn_span)
-        attn = gqa_attention_kv_quant(q, kq, ks, vq, vs, causal_offset=pos2d)
+        attn = gqa_attention_kv_quant(q, kq, ks, vq, vs, causal_offset=pos2d,
+                                      window=config.sliding_window)
     elif cache.quantized:
         k_all, v_all = cache.read(li, attn_span)
-        attn = gqa_attention(q, k_all, v_all, causal_offset=pos2d)
+        attn = gqa_attention(q, k_all, v_all, causal_offset=pos2d,
+                             window=config.sliding_window)
     else:
         # unquantized cache: consume the head-major storage in place
         k_hm, _, v_hm, _ = cache.read_raw(li, attn_span)
-        attn = gqa_attention_hm(q, k_hm, v_hm, causal_offset=pos2d)
+        attn = gqa_attention_hm(q, k_hm, v_hm, causal_offset=pos2d,
+                                window=config.sliding_window)
     o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, s, -1))
     x = x + reduce_fn(o, layer["o_proj"])
     h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)

@@ -38,6 +38,11 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
         # Qwen2's HF config has no attention_bias field — the family always
         # carries q/k/v biases.
         attention_bias = get("model_type") in ("qwen2", "qwen2_moe")
+    # Mistral-style sliding window. Qwen2 configs carry a sliding_window
+    # value but gate it behind use_sliding_window (default False).
+    sliding_window = get("sliding_window")
+    if sliding_window is not None and get("use_sliding_window") is False:
+        sliding_window = None
     return llama.LlamaConfig(
         vocab_size=get("vocab_size"),
         hidden_size=get("hidden_size"),
@@ -52,6 +57,7 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
         max_seq_len=get("max_position_embeddings", 2048),
         tie_embeddings=bool(get("tie_word_embeddings", False)),
         attention_bias=bool(attention_bias),
+        sliding_window=sliding_window,
     )
 
 
