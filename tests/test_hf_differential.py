@@ -232,3 +232,56 @@ class TestMistralVsHF:
                            quantized_kv=False)
         got = eng.generate([prompt], SamplingParams(max_new_tokens=n_new))[0]
         assert got == expect
+
+
+class TestGemmaVsHF:
+    """Gemma: gelu-tanh MLP, (1+w) RMSNorm, sqrt(hidden)-scaled embeddings,
+    tied head, and an explicit head_dim != hidden_size/num_heads."""
+
+    @pytest.fixture(scope="class")
+    def hf_model(self):
+        torch.manual_seed(3)
+        config = transformers.GemmaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=1, head_dim=24,
+            max_position_embeddings=64, rms_norm_eps=1e-6,
+            rope_theta=10000.0, hidden_activation="gelu_pytorch_tanh",
+            attention_bias=False)
+        model = transformers.GemmaForCausalLM(config).float().eval()
+        return model, config
+
+    def test_config_mapping(self, hf_model):
+        _, config = hf_model
+        cfg = llama_config_from_hf(config)
+        assert cfg.hidden_act == "gelu_tanh"
+        assert cfg.rms_weight_offset == 1.0
+        assert cfg.scale_embeddings is True
+        assert cfg.tie_embeddings is True
+        assert cfg.hd == 24
+
+    def test_fp32_logits_match(self, hf_model, rng):
+        model, config = hf_model
+        tokens = rng.integers(0, config.vocab_size, (2, 13))
+        ours, _ = _logits_ours(model.state_dict(), config, tokens)
+        _agree(ours, _logits_hf(model, tokens), atol=2e-4)
+
+    def test_engine_decode_matches_hf_generate(self, hf_model, rng):
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        import dataclasses
+        model, config = hf_model
+        cfg = dataclasses.replace(llama_config_from_hf(config),
+                                  dtype=jnp.float32)
+        params = llama_params_from_state_dict(model.state_dict(), cfg,
+                                              dtype=jnp.float32)
+        prompt = list(map(int, rng.integers(0, config.vocab_size, 5)))
+        n_new = 8
+        with torch.no_grad():
+            hf_out = model.generate(
+                torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False,
+                pad_token_id=0)
+        expect = hf_out[0, len(prompt):].tolist()
+        eng = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                           quantized_kv=False)
+        got = eng.generate([prompt], SamplingParams(max_new_tokens=n_new))[0]
+        assert got == expect

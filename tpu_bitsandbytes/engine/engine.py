@@ -44,7 +44,8 @@ def _decode_step_impl(params, cache: KVCache, tokens, active,
             n_heads=config.num_heads, n_kv=config.num_kv_heads,
             attn_span=attn_span)
 
-    x = rms_norm(x, params["final_norm"], config.rms_eps)
+    x = rms_norm(x, params["final_norm"], config.rms_eps,
+                 config.rms_weight_offset)
     head = params.get("lm_head", None)
     if head is None:
         logits = x[:, 0] @ params["embed"].T.astype(x.dtype)

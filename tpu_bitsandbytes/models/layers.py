@@ -205,10 +205,19 @@ def linear_apply(w, x):
 # --- norms / activations ----------------------------------------------------
 
 
-def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5):
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5,
+             offset: float = 0.0):
+    """RMSNorm. ``offset``: Gemma stores zero-centered norm weights and
+    multiplies by (1 + w) *in fp32* — pass offset=1.0 for that convention.
+    The default (offset 0) matches HF Llama bit-for-bit in half precision:
+    the normalized activation is cast back to the input dtype BEFORE the
+    weight multiply."""
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    if offset:
+        w = weight.astype(jnp.float32) + offset
+        return ((x32 * jax.lax.rsqrt(var + eps)) * w).astype(dtype)
     return ((x32 * jax.lax.rsqrt(var + eps)).astype(dtype)
             * weight.astype(dtype))
 

@@ -53,6 +53,11 @@ class LlamaConfig:
     # Mistral-style sliding-window attention: each query attends to the last
     # ``sliding_window`` positions only. None = full causal (Llama/Qwen2).
     sliding_window: Optional[int] = None
+    # Gemma-family knobs: "gelu_tanh" MLP activation, zero-centered RMSNorm
+    # weights multiplied as (1 + w), and sqrt(hidden_size)-scaled embeddings.
+    hidden_act: str = "silu"
+    rms_weight_offset: float = 0.0
+    scale_embeddings: bool = False
 
     @property
     def hd(self) -> int:
@@ -99,6 +104,35 @@ class LlamaConfig:
                            max_seq_len=32768, attention_bias=True,
                            tie_embeddings=True)
 
+    # Gemma family: gelu MLP, (1+w) RMSNorm, scaled + tied embeddings,
+    # explicit head_dim.
+    @staticmethod
+    def tiny_gemma() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=512, hidden_size=128,
+                           intermediate_size=256, num_layers=2, num_heads=4,
+                           num_kv_heads=1, head_dim=32, max_seq_len=128,
+                           rms_eps=1e-6, tie_embeddings=True,
+                           hidden_act="gelu_tanh", rms_weight_offset=1.0,
+                           scale_embeddings=True)
+
+    @staticmethod
+    def gemma_2b() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=256000, hidden_size=2048,
+                           intermediate_size=16384, num_layers=18,
+                           num_heads=8, num_kv_heads=1, head_dim=256,
+                           max_seq_len=8192, rms_eps=1e-6,
+                           tie_embeddings=True, hidden_act="gelu_tanh",
+                           rms_weight_offset=1.0, scale_embeddings=True)
+
+    @staticmethod
+    def gemma_7b() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=256000, hidden_size=3072,
+                           intermediate_size=24576, num_layers=28,
+                           num_heads=16, num_kv_heads=16, head_dim=256,
+                           max_seq_len=8192, rms_eps=1e-6,
+                           tie_embeddings=True, hidden_act="gelu_tanh",
+                           rms_weight_offset=1.0, scale_embeddings=True)
+
     # Mistral family: Llama trunk + sliding-window attention.
     @staticmethod
     def tiny_mistral() -> "LlamaConfig":
@@ -126,6 +160,23 @@ class LlamaConfig:
 
 _LINEAR_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
                  "gate_proj", "up_proj", "down_proj")
+
+
+def _act(config: LlamaConfig):
+    if config.hidden_act == "silu":
+        return jax.nn.silu
+    if config.hidden_act in ("gelu_tanh", "gelu_pytorch_tanh"):
+        return partial(jax.nn.gelu, approximate=True)
+    if config.hidden_act == "gelu":
+        return partial(jax.nn.gelu, approximate=False)
+    raise ValueError(f"unknown hidden_act: {config.hidden_act!r}")
+
+
+def _embed_tokens(params, tokens, config: LlamaConfig):
+    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    if config.scale_embeddings:                       # Gemma: sqrt(H) in dtype
+        x = x * jnp.asarray(config.hidden_size ** 0.5, config.dtype)
+    return x
 
 
 def init_params(key: jax.Array, config: LlamaConfig,
@@ -324,14 +375,14 @@ def _attention_block(layer, x, cos, sin, config: LlamaConfig, cache_kv=None,
     return out, (k, v)
 
 
-def _mlp_block(layer, x):
+def _mlp_block(layer, x, config: LlamaConfig):
     if "gateup_proj" in layer:
         gate, up = jnp.split(linear_apply(layer["gateup_proj"], x), 2,
                              axis=-1)
     else:
         gate = linear_apply(layer["gate_proj"], x)
         up = linear_apply(layer["up_proj"], x)
-    return linear_apply(layer["down_proj"], jax.nn.silu(gate) * up)
+    return linear_apply(layer["down_proj"], _act(config)(gate) * up)
 
 
 def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
@@ -347,7 +398,8 @@ def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
     """
     b, s, _ = x.shape
     hd = config.hd
-    h = rms_norm(x, layer["input_norm"], config.rms_eps)
+    h = rms_norm(x, layer["input_norm"], config.rms_eps,
+                 config.rms_weight_offset)
     if "qkv_proj" in layer:
         qkv = linear_apply(wrap(layer["qkv_proj"]), h)
         q, k, v = jnp.split(qkv, [n_heads * hd, (n_heads + n_kv) * hd],
@@ -364,7 +416,8 @@ def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
     attn = gqa_attention(q, k, v, window=config.sliding_window)
     o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, s, -1))
     x = x + reduce_fn(o, layer["o_proj"])
-    h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)
+    h = rms_norm(x, layer["post_attn_norm"], config.rms_eps,
+                 config.rms_weight_offset)
     if "gateup_proj" in layer:
         gate, up = jnp.split(linear_apply(wrap(layer["gateup_proj"]), h), 2,
                              axis=-1)
@@ -372,7 +425,7 @@ def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
         gate = linear_apply(wrap(layer["gate_proj"]), h)
         up = linear_apply(wrap(layer["up_proj"]), h)
     d = linear_apply(wrap(layer["down_proj"], row=True),
-                     jax.nn.silu(gate) * up)
+                     _act(config)(gate) * up)
     x = x + reduce_fn(d, layer["down_proj"])
     return x, (k, v)
 
@@ -396,18 +449,21 @@ def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
     cos = jnp.take(cos_full, positions, axis=0)  # [B, S, D/2]
     sin = jnp.take(sin_full, positions, axis=0)
 
-    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    x = _embed_tokens(params, tokens, config)
     new_kv = []
     for li, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["input_norm"], config.rms_eps)
+        h = rms_norm(x, layer["input_norm"], config.rms_eps,
+                 config.rms_weight_offset)
         cache_kv = kv_caches[li] if kv_caches is not None else None
         attn, kv = _attention_block(layer, h, cos, sin, config, cache_kv)
         x = x + attn
-        h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)
-        x = x + _mlp_block(layer, h)
+        h = rms_norm(x, layer["post_attn_norm"], config.rms_eps,
+                 config.rms_weight_offset)
+        x = x + _mlp_block(layer, h, config)
         if return_kv:
             new_kv.append(kv)
-    x = rms_norm(x, params["final_norm"], config.rms_eps)
+    x = rms_norm(x, params["final_norm"], config.rms_eps,
+                 config.rms_weight_offset)
     head = params.get("lm_head", None)
     if head is None:
         logits = x @ params["embed"].T.astype(x.dtype)
@@ -440,7 +496,8 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
     b, s, _ = x.shape
     pos2d = positions if positions.ndim == 2 else positions[:, None]
     hd = config.hd
-    h = rms_norm(x, layer["input_norm"], config.rms_eps)
+    h = rms_norm(x, layer["input_norm"], config.rms_eps,
+                 config.rms_weight_offset)
     if "qkv_proj" in layer:
         qkv = linear_apply(wrap(layer["qkv_proj"]), h)
         q, k, v = jnp.split(qkv, [n_heads * hd, (n_heads + n_kv) * hd],
@@ -473,7 +530,8 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
                                 window=config.sliding_window)
     o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, s, -1))
     x = x + reduce_fn(o, layer["o_proj"])
-    h = rms_norm(x, layer["post_attn_norm"], config.rms_eps)
+    h = rms_norm(x, layer["post_attn_norm"], config.rms_eps,
+                 config.rms_weight_offset)
     if "gateup_proj" in layer:
         gateup = linear_apply(wrap(layer["gateup_proj"]), h)
         gate, up = jnp.split(gateup, 2, axis=-1)
@@ -481,7 +539,7 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
         gate = linear_apply(wrap(layer["gate_proj"]), h)
         up = linear_apply(wrap(layer["up_proj"]), h)
     d = linear_apply(wrap(layer["down_proj"], row=True),
-                     jax.nn.silu(gate) * up)
+                     _act(config)(gate) * up)
     x = x + reduce_fn(d, layer["down_proj"])
     return x, cache
 
@@ -498,7 +556,7 @@ def decode_embed_and_rope(params, tokens, positions, config: LlamaConfig):
                                     config.rope_theta)
     cos = jnp.take(cos_full, pos2d, axis=0)
     sin = jnp.take(sin_full, pos2d, axis=0)
-    x = jnp.take(params["embed"], tok2d, axis=0).astype(config.dtype)
+    x = _embed_tokens(params, tok2d, config)
     return x, cos, sin
 
 

@@ -89,7 +89,8 @@ def _tp_decode_impl(params, cache: KVCache, tokens, active,
             n_heads=n_heads, n_kv=n_kv, wrap=wrap, reduce_fn=reduce_fn,
             attn_span=attn_span)
 
-    x = rms_norm(x, params["final_norm"], config.rms_eps)
+    x = rms_norm(x, params["final_norm"], config.rms_eps,
+                 config.rms_weight_offset)
     head = params.get("lm_head", None)
     if head is None:
         logits = x[:, 0] @ params["embed"].T.astype(x.dtype)
@@ -161,7 +162,7 @@ def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
                                     config.rope_theta)
     cos = jnp.take(cos_full, positions, axis=0)
     sin = jnp.take(sin_full, positions, axis=0)
-    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    x = llama._embed_tokens(params, tokens, config)
 
     def wrap(w, row=False):
         return _localize(w, strip_bias=row)
@@ -182,7 +183,8 @@ def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
         cache, lengths=cache.lengths.at[local_slot].set(
             jnp.where(own, true_len, cur)))
 
-    x = rms_norm(x, params["final_norm"], config.rms_eps)
+    x = rms_norm(x, params["final_norm"], config.rms_eps,
+                 config.rms_weight_offset)
     # last real token only: [1, H] through the head instead of all S_pad rows
     x_last = jnp.take_along_axis(
         x[0], (true_len - 1)[None, None], axis=0)

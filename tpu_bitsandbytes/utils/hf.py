@@ -43,6 +43,12 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
     sliding_window = get("sliding_window")
     if sliding_window is not None and get("use_sliding_window") is False:
         sliding_window = None
+    # Gemma: gelu MLP (hidden_activation supersedes hidden_act in newer HF
+    # configs), (1+w) RMSNorm, sqrt(hidden)-scaled embeddings, always-tied.
+    gemma = get("model_type") == "gemma"
+    hidden_act = get("hidden_activation") or get("hidden_act") or "silu"
+    if hidden_act == "silu" and gemma:
+        hidden_act = "gelu_pytorch_tanh"
     return llama.LlamaConfig(
         vocab_size=get("vocab_size"),
         hidden_size=get("hidden_size"),
@@ -55,9 +61,15 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
         rope_theta=get("rope_theta", 10000.0),
         rms_eps=get("rms_norm_eps", 1e-5),
         max_seq_len=get("max_position_embeddings", 2048),
-        tie_embeddings=bool(get("tie_word_embeddings", False)),
+        tie_embeddings=bool(get("tie_word_embeddings", False) or gemma),
         attention_bias=bool(attention_bias),
         sliding_window=sliding_window,
+        hidden_act=("silu" if hidden_act == "silu" else
+                    {"gelu_pytorch_tanh": "gelu_tanh",
+                     "gelu_tanh": "gelu_tanh",
+                     "gelu": "gelu"}[hidden_act]),
+        rms_weight_offset=1.0 if gemma else 0.0,
+        scale_embeddings=gemma,
     )
 
 
