@@ -614,3 +614,91 @@ class TestEngineLimits:
         engine = DecodeEngine(params, cfg, max_batch=2, max_seq=32,
                               quantized_kv=False)
         engine.warmup([5, 20])  # must not raise; precompiles buckets + decode
+
+
+class TestStreamingAndCancel:
+    def test_stream_matches_generate(self, tiny_model, rng):
+        cfg, params = tiny_model
+        prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (5, 9)]
+        sp = SamplingParams(max_new_tokens=6)
+        ref = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                           quantized_kv=False).generate(prompts, sp)
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                         quantized_kv=False)
+        streamed = {}
+        dones = {}
+        for uid, tok, done in e.generate_stream(prompts, sp):
+            streamed.setdefault(uid, []).append(tok)
+            dones[uid] = done
+        assert sorted(streamed.keys()) == [1, 2]
+        assert streamed[1] == ref[0] and streamed[2] == ref[1]
+        assert all(dones.values())           # last event per uid marks done
+
+    def test_on_token_fires_for_first_prefill_token(self, tiny_model, rng):
+        cfg, params = tiny_model
+        e = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                         quantized_kv=False)
+        seen = []
+        e.add_request(list(rng.integers(0, cfg.vocab_size, 4)),
+                      SamplingParams(max_new_tokens=3),
+                      on_token=lambda u, t, d: seen.append(t))
+        while e.step():
+            pass
+        assert seen == e.finished[0].generated
+        assert len(seen) == 3
+
+    def test_cancel_waiting_request_never_runs(self, tiny_model, rng):
+        cfg, params = tiny_model
+        e = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                         quantized_kv=False)
+        u1 = e.add_request(list(rng.integers(0, cfg.vocab_size, 4)),
+                           SamplingParams(max_new_tokens=3))
+        u2 = e.add_request(list(rng.integers(0, cfg.vocab_size, 4)),
+                           SamplingParams(max_new_tokens=3))
+        assert e.cancel(u2)
+        while e.step():
+            pass
+        by_uid = {r.uid: r for r in e.finished}
+        assert by_uid[u2].cancelled and by_uid[u2].generated == []
+        assert len(by_uid[u1].generated) == 3
+        assert not e.cancel(u2)              # already finished
+
+    def test_cancel_active_frees_slot_for_waiting(self, tiny_model, rng):
+        cfg, params = tiny_model
+        e = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                         quantized_kv=False)
+        u1 = e.add_request(list(rng.integers(0, cfg.vocab_size, 4)),
+                           SamplingParams(max_new_tokens=50))
+        u2 = e.add_request(list(rng.integers(0, cfg.vocab_size, 4)),
+                           SamplingParams(max_new_tokens=3))
+        e.step()                             # u1 admitted + first chunk
+        assert any(r.uid == u1 for r in e.active.values())
+        n_before = len({r.uid: r for r in e.finished})
+        assert e.cancel(u1)
+        while e.step():
+            pass
+        by_uid = {r.uid: r for r in e.finished}
+        assert by_uid[u1].cancelled
+        # u1 stopped early; u2 got the slot and finished normally
+        assert len(by_uid[u1].generated) < 50
+        assert len(by_uid[u2].generated) == 3
+
+    def test_cancelled_slot_reuse_is_clean(self, tiny_model, rng):
+        """KV garbage left by a cancelled request must not leak into the
+        next request admitted into that slot (prefill overwrite contract)."""
+        cfg, params = tiny_model
+        prompt2 = list(rng.integers(0, cfg.vocab_size, 6))
+        sp = SamplingParams(max_new_tokens=5)
+        ref = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                           quantized_kv=False).generate([prompt2], sp)[0]
+        e = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                         quantized_kv=False)
+        u1 = e.add_request(list(rng.integers(0, cfg.vocab_size, 30)),
+                           SamplingParams(max_new_tokens=50))
+        e.step()
+        e.cancel(u1)
+        u2 = e.add_request(prompt2, sp)
+        while e.step():
+            pass
+        got = {r.uid: r.generated for r in e.finished}[u2]
+        assert got == ref

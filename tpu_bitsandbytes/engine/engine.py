@@ -193,6 +193,11 @@ class Request:
     # first token produced by prefill: a device scalar until _host_inputs
     # (or save_state) reads it — admission never blocks on the device
     pending_first: Optional[Any] = None
+    # streaming: called as on_token(uid, token, done) for every emission
+    # (host-side, at chunk-collection granularity). Not serialized by
+    # save_state — re-register after load_state.
+    on_token: Optional[Any] = None
+    cancelled: bool = False
 
 
 def _bucket(n: int, max_seq: int) -> int:
@@ -285,12 +290,38 @@ class DecodeEngine:
         self.metrics = MetricsLogger()
 
     # -- request management ---------------------------------------------
-    def add_request(self, prompt_tokens, sampling: Optional[SamplingParams] = None
-                    ) -> int:
+    def add_request(self, prompt_tokens, sampling: Optional[SamplingParams] = None,
+                    on_token=None) -> int:
+        """Queue a prompt. ``on_token(uid, token, done)`` streams emissions
+        to the caller as chunks are collected (see :meth:`generate_stream`)."""
         self._uid += 1
         self.waiting.append(Request(self._uid, list(map(int, prompt_tokens)),
-                                    sampling or SamplingParams()))
+                                    sampling or SamplingParams(),
+                                    on_token=on_token))
         return self._uid
+
+    def cancel(self, uid: int) -> bool:
+        """Cancel a request by uid (serving: client disconnect).
+
+        Waiting requests never run; active requests are retired host-side —
+        the device may keep decoding that slot until the current chunk
+        drains, and those emissions are discarded by the ``req is None``
+        guard in ``_collect_chunk`` (the same mid-flight retirement contract
+        as max_new_tokens). The slot's KV is garbage until the next prefill
+        overwrites it. Returns True if the uid was found unfinished."""
+        for i, req in enumerate(self.waiting):
+            if req.uid == uid:
+                req.done = req.cancelled = True
+                self.finished.append(self.waiting.pop(i))
+                return True
+        for slot, req in list(self.active.items()):
+            if req.uid == uid:
+                req.done = req.cancelled = True
+                req.pending_first = None
+                del self.active[slot]
+                self.finished.append(req)
+                return True
+        return False
 
     def _free_slots(self) -> List[int]:
         return [s for s in range(self.max_batch) if s not in self.active]
@@ -450,6 +481,8 @@ class DecodeEngine:
             req.done = True
             self.finished.append(req)
             del self.active[slot]
+        if req.on_token is not None:
+            req.on_token(req.uid, token, req.done)
 
     def step(self) -> bool:
         """One engine iteration: admit, then one batched decode step.
@@ -615,7 +648,7 @@ class DecodeEngine:
             return {"uid": r.uid, "prompt": list(r.prompt),
                     "sampling": dataclasses.asdict(r.params),
                     "generated": list(r.generated), "slot": r.slot,
-                    "done": r.done,
+                    "done": r.done, "cancelled": r.cancelled,
                     "pending_first": None if r.pending_first is None
                     else int(r.pending_first)}
 
@@ -642,6 +675,7 @@ class DecodeEngine:
                            params=SamplingParams(**d["sampling"]),
                            generated=list(d["generated"]), slot=d["slot"],
                            done=bool(d["done"]),
+                           cancelled=bool(d.get("cancelled", False)),
                            pending_first=d["pending_first"])
 
         st = load_checkpoint(path)
@@ -770,6 +804,24 @@ class DecodeEngine:
                 pass
         by_uid = {r.uid: r.generated for r in self.finished}
         return [by_uid[u] for u in uids]
+
+    def generate_stream(self, prompts: List[List[int]],
+                        sampling: Optional[SamplingParams] = None):
+        """Streaming generation: yields ``(uid, token, done)`` tuples in
+        emission order as decode chunks complete (token-identical to
+        :meth:`generate`; latency granularity is ``steps_per_sync`` steps).
+        Returns the uids via StopIteration value when exhausted."""
+        events: List[tuple] = []
+        uids = [self.add_request(
+            p, sampling,
+            on_token=lambda u, t, d: events.append((u, t, d)))
+            for p in prompts]
+        while self.step():
+            while events:
+                yield events.pop(0)
+        while events:
+            yield events.pop(0)
+        return uids
 
     @property
     def stats(self) -> dict:
