@@ -285,3 +285,63 @@ class TestGemmaVsHF:
                            quantized_kv=False)
         got = eng.generate([prompt], SamplingParams(max_new_tokens=n_new))[0]
         assert got == expect
+
+
+class TestLlama3RopeScalingVsHF:
+    """Llama-3.1 'llama3' rope band scaling: with original_max_position (16)
+    far below the test sequence (40), every frequency band — kept, scaled,
+    and smoothly interpolated — contributes to the logits."""
+
+    @pytest.fixture(scope="class")
+    def hf_model(self):
+        torch.manual_seed(4)
+        config = transformers.LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rms_norm_eps=1e-5, rope_theta=10000.0,
+            rope_scaling={"rope_type": "llama3", "factor": 4.0,
+                          "low_freq_factor": 1.0, "high_freq_factor": 2.0,
+                          "original_max_position_embeddings": 16},
+            tie_word_embeddings=False)
+        model = transformers.LlamaForCausalLM(config).float().eval()
+        return model, config
+
+    def test_config_mapping(self, hf_model):
+        _, config = hf_model
+        cfg = llama_config_from_hf(config)
+        assert cfg.rope_scaling == ("llama3", 4.0, 1.0, 2.0, 16)
+
+    def test_fp32_logits_match(self, hf_model, rng):
+        model, config = hf_model
+        tokens = rng.integers(0, config.vocab_size, (1, 40))
+        ours, _ = _logits_ours(model.state_dict(), config, tokens)
+        _agree(ours, _logits_hf(model, tokens), atol=2e-4)
+
+    def test_scaling_changes_logits(self, hf_model, rng):
+        """Dropping the scaling tuple must change the long-context logits
+        (guards against the table silently ignoring it)."""
+        import dataclasses
+        model, config = hf_model
+        tokens = rng.integers(0, config.vocab_size, (1, 40))
+        scaled, cfg = _logits_ours(model.state_dict(), config, tokens)
+        cfg_plain = dataclasses.replace(cfg, rope_scaling=None)
+        params = llama_params_from_state_dict(model.state_dict(), cfg_plain,
+                                              dtype=jnp.float32)
+        plain = np.asarray(
+            llama.forward(params, jnp.asarray(tokens), cfg_plain), np.float32)
+        assert not np.allclose(scaled, plain, atol=1e-3)
+
+    def test_linear_scaling_matches_hf(self, rng):
+        torch.manual_seed(5)
+        config = transformers.LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=1, num_attention_heads=4,
+            num_key_value_heads=4, max_position_embeddings=64,
+            rope_scaling={"rope_type": "linear", "factor": 2.0},
+            tie_word_embeddings=False)
+        model = transformers.LlamaForCausalLM(config).float().eval()
+        tokens = rng.integers(0, config.vocab_size, (1, 32))
+        ours, cfg = _logits_ours(model.state_dict(), config, tokens)
+        assert cfg.rope_scaling == ("linear", 2.0)
+        _agree(ours, _logits_hf(model, tokens), atol=2e-4)

@@ -234,9 +234,34 @@ def layer_norm(x, weight, bias, eps: float = 1e-5):
 # --- RoPE -------------------------------------------------------------------
 
 
-def rope_table(head_dim: int, max_seq: int, theta: float = 10000.0):
-    """Precompute RoPE cos/sin tables [max_seq, head_dim/2] (fp32)."""
+def rope_table(head_dim: int, max_seq: int, theta: float = 10000.0,
+               scaling=None):
+    """Precompute RoPE cos/sin tables [max_seq, head_dim/2] (fp32).
+
+    ``scaling``: hashable tuple (it rides on the static jit config):
+      ("linear", factor) — position-interpolation: inv_freq / factor;
+      ("llama3", factor, low_freq_factor, high_freq_factor, orig_max) —
+      Llama-3.1 frequency-band scaling: long wavelengths divided by
+      ``factor``, short kept, the band between smoothly interpolated
+      (matches transformers' _compute_llama3_parameters).
+    """
     inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2) / head_dim))
+    if scaling is not None:
+        kind = scaling[0]
+        if kind == "linear":
+            inv_freq = inv_freq / scaling[1]
+        elif kind == "llama3":
+            _, factor, low_f, high_f, orig_max = scaling
+            low_wavelen = orig_max / low_f
+            high_wavelen = orig_max / high_f
+            wavelen = 2 * np.pi / inv_freq
+            scaled = inv_freq / factor
+            smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
+            mid = (1 - smooth) * scaled + smooth * inv_freq
+            inv_freq = np.where(wavelen < high_wavelen, inv_freq,
+                                np.where(wavelen > low_wavelen, scaled, mid))
+        else:
+            raise ValueError(f"unknown rope scaling: {scaling!r}")
     t = np.arange(max_seq)
     freqs = np.outer(t, inv_freq)
     return jnp.asarray(np.cos(freqs), jnp.float32), \

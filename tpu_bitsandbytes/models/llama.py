@@ -53,6 +53,10 @@ class LlamaConfig:
     # Mistral-style sliding-window attention: each query attends to the last
     # ``sliding_window`` positions only. None = full causal (Llama/Qwen2).
     sliding_window: Optional[int] = None
+    # RoPE frequency scaling (hashable; see layers.rope_table):
+    # ("linear", factor) or Llama-3.1's
+    # ("llama3", factor, low_freq_factor, high_freq_factor, orig_max_pos).
+    rope_scaling: Optional[Tuple] = None
     # Gemma-family knobs: "gelu_tanh" MLP activation, zero-centered RMSNorm
     # weights multiplied as (1 + w), and sqrt(hidden_size)-scaled embeddings.
     hidden_act: str = "silu"
@@ -445,7 +449,7 @@ def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
     cos_full, sin_full = rope_table(config.hd, config.max_seq_len,
-                                    config.rope_theta)
+                                    config.rope_theta, config.rope_scaling)
     cos = jnp.take(cos_full, positions, axis=0)  # [B, S, D/2]
     sin = jnp.take(sin_full, positions, axis=0)
 
@@ -553,7 +557,7 @@ def decode_embed_and_rope(params, tokens, positions, config: LlamaConfig):
     tok2d = tokens if tokens.ndim == 2 else tokens[:, None]
     pos2d = positions if positions.ndim == 2 else positions[:, None]
     cos_full, sin_full = rope_table(config.hd, config.max_seq_len,
-                                    config.rope_theta)
+                                    config.rope_theta, config.rope_scaling)
     cos = jnp.take(cos_full, pos2d, axis=0)
     sin = jnp.take(sin_full, pos2d, axis=0)
     x = _embed_tokens(params, tok2d, config)

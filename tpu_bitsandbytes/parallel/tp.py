@@ -159,7 +159,7 @@ def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
     positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
     from ..models.layers import rope_table
     cos_full, sin_full = rope_table(config.hd, config.max_seq_len,
-                                    config.rope_theta)
+                                    config.rope_theta, config.rope_scaling)
     cos = jnp.take(cos_full, positions, axis=0)
     sin = jnp.take(sin_full, positions, axis=0)
     x = llama._embed_tokens(params, tokens, config)

@@ -43,6 +43,24 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
     sliding_window = get("sliding_window")
     if sliding_window is not None and get("use_sliding_window") is False:
         sliding_window = None
+    # RoPE scaling (Llama-3.1 "llama3" band scaling, "linear" position
+    # interpolation). transformers uses "rope_type" (legacy "type").
+    rs = get("rope_scaling")
+    rope_scaling = None
+    if rs:
+        rs_get = rs.get if isinstance(rs, dict) else lambda k, d=None: getattr(rs, k, d)
+        kind = rs_get("rope_type") or rs_get("type")
+        if kind == "llama3":
+            rope_scaling = ("llama3", rs_get("factor"),
+                            rs_get("low_freq_factor"),
+                            rs_get("high_freq_factor"),
+                            rs_get("original_max_position_embeddings"))
+        elif kind == "linear":
+            rope_scaling = ("linear", rs_get("factor"))
+        elif kind in (None, "default"):
+            rope_scaling = None
+        else:
+            raise ValueError(f"unsupported rope_scaling type: {kind!r}")
     # Gemma: gelu MLP (hidden_activation supersedes hidden_act in newer HF
     # configs), (1+w) RMSNorm, sqrt(hidden)-scaled embeddings, always-tied.
     gemma = get("model_type") == "gemma"
@@ -64,6 +82,7 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
         tie_embeddings=bool(get("tie_word_embeddings", False) or gemma),
         attention_bias=bool(attention_bias),
         sliding_window=sliding_window,
+        rope_scaling=rope_scaling,
         hidden_act=("silu" if hidden_act == "silu" else
                     {"gelu_pytorch_tanh": "gelu_tanh",
                      "gelu_tanh": "gelu_tanh",
