@@ -165,6 +165,68 @@ def prefill_batch(params, cache: KVCache, tokens: jnp.ndarray,
     return firsts, cache
 
 
+@partial(jax.jit, static_argnames=("config", "attn_span"),
+         donate_argnums=(1,))
+def prefill_chunk_step(params, cache: KVCache, tokens: jnp.ndarray,
+                       slot: jnp.ndarray, start: jnp.ndarray,
+                       new_len: jnp.ndarray, config: llama.LlamaConfig,
+                       attn_span: Optional[int] = None):
+    """One chunk of a chunked prefill: tokens [1, C] written into ``slot``
+    at positions [start, start+C); the chunk's queries attend to the slot's
+    own history (slot-targeted decode_layer — O(span) attention, not
+    O(B*span)).
+
+    Splitting a long prompt into C-token chunks bounds how long a single
+    admission dispatch can block decode: the scheduler interleaves one chunk
+    per engine step with the running decode chunks (vLLM-style chunked
+    prefill). Final-chunk padding beyond the prompt writes garbage KV under
+    the standard overwrite contract.
+
+    ``new_len``: the slot's length after this chunk (its prefill progress).
+    Keeping ``lengths[slot]`` current is load-bearing, not cosmetic: decode
+    chunks running for OTHER slots scatter a garbage token into every slot
+    at ``lengths[slot]`` each step. With the length tracking the prefill
+    frontier, that garbage lands exactly where the NEXT chunk (or the
+    slot's first decode step) writes real KV before anything attends to it
+    — the standard overwrite contract. Left at 0 it would corrupt position
+    0 of the already-written history (tests: chunked == unchunked).
+
+    Returns (hidden [1, C, H], cache); feed the final chunk's hidden to
+    :func:`prefill_final_logits`.
+    """
+    c = tokens.shape[1]
+    positions = start + jnp.arange(c, dtype=jnp.int32)[None, :]
+    x, cos, sin = llama.decode_embed_and_rope(params, tokens, positions,
+                                              config)
+    for li, layer in enumerate(params["layers"]):
+        x, cache = llama.decode_layer(
+            layer, x, cos, sin, positions, cache, li, config,
+            n_heads=config.num_heads, n_kv=config.num_kv_heads,
+            attn_span=attn_span, slot=slot)
+    cache = dataclasses.replace(
+        cache, lengths=cache.lengths.at[slot].set(new_len))
+    return x, cache
+
+
+@partial(jax.jit, static_argnames=("config",))
+def prefill_final_logits(params, x: jnp.ndarray, idx: jnp.ndarray,
+                         config: llama.LlamaConfig):
+    """Logits for the prompt's last token: x [1, C, H] from the final
+    prefill chunk, ``idx`` its in-chunk index. The lm_head streams once per
+    admission (not per chunk). Returns [V] fp32."""
+    xl = jnp.take_along_axis(
+        x, jnp.broadcast_to(idx[None, None, None], (1, 1, x.shape[-1])),
+        axis=1)[:, 0]                                   # [1, H]
+    xl = rms_norm(xl, params["final_norm"], config.rms_eps,
+                  config.rms_weight_offset)
+    head = params.get("lm_head", None)
+    if head is None:
+        logits = xl @ params["embed"].T.astype(xl.dtype)
+    else:
+        logits = linear_apply(head, xl)
+    return logits[0].astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
 def prefill_step_spmd(params, cache: KVCache, tokens: jnp.ndarray,
                       slot: jnp.ndarray, true_len: jnp.ndarray,
@@ -198,6 +260,11 @@ class Request:
     # save_state — re-register after load_state.
     on_token: Optional[Any] = None
     cancelled: bool = False
+    # chunked prefill progress: tokens of the prompt already written to the
+    # slot's KV. A request with prefilling=True occupies its slot but is not
+    # decodable until the final chunk samples its first token.
+    prefilling: bool = False
+    prefill_pos: int = 0
 
 
 def _bucket(n: int, max_seq: int) -> int:
@@ -224,7 +291,8 @@ class DecodeEngine:
                  max_batch: int = 8, max_seq: Optional[int] = None,
                  quantized_kv: bool = True, seed: int = 0, mesh=None,
                  steps_per_sync: int = 8, runtime_cache: Optional[str] = None,
-                 speculative: Optional[str] = None, spec_gamma: int = 4):
+                 speculative: Optional[str] = None, spec_gamma: int = 4,
+                 prefill_chunk: Optional[int] = None):
         """``mesh``: a (dp, tp) Mesh for multi-chip serving. Params are
         tp/dp-sharded (column/row-parallel packed weights, head-sharded KV
         cache); decode runs the shard_map TP step, prefill runs under GSPMD.
@@ -238,7 +306,12 @@ class DecodeEngine:
         ``speculative``: "ngram" enables prompt-lookup speculative decoding
         (engine/speculative.py) for all-greedy batches on single-device
         meshes; output stays token-identical to plain greedy decoding.
-        ``spec_gamma``: drafts proposed per verify step."""
+        ``spec_gamma``: drafts proposed per verify step.
+        ``prefill_chunk``: chunked prefill (single-device path) — prompts
+        longer than this are written to the KV cache ``prefill_chunk``
+        tokens per engine step, interleaved with decode chunks, so one long
+        admission cannot stall every running stream for a full-prompt
+        forward."""
         self.config = config
         self.max_batch = max_batch
         self.max_seq = max_seq or config.max_seq_len
@@ -251,6 +324,9 @@ class DecodeEngine:
                              "drop speculative= or mesh=")
         self.speculative = speculative
         self.spec_gamma = int(spec_gamma)
+        if prefill_chunk is not None and prefill_chunk < 16:
+            raise ValueError("prefill_chunk must be >= 16")
+        self.prefill_chunk = prefill_chunk
         self.spec_stats = {"verify_steps": 0, "drafted": 0, "accepted": 0}
         if runtime_cache:
             params = llama.build_runtime_cache(params, runtime_cache)
@@ -360,6 +436,14 @@ class DecodeEngine:
 
     def _admit_one(self, slot: int, req: Request):
         s = len(req.prompt)
+        if (self.prefill_chunk is not None and s > self.prefill_chunk
+                and self._tp_prefill is None):
+            # chunked admission: occupy the slot now, stream the prompt into
+            # the KV cache one chunk per engine step (_advance_prefill)
+            req.prefilling = True
+            req.prefill_pos = 0
+            self.active[slot] = req
+            return
         s_pad = _bucket(s, self.max_seq)
         toks = np.zeros((1, s_pad), np.int32)
         toks[0, :s] = req.prompt
@@ -414,6 +498,37 @@ class DecodeEngine:
             req.pending_first = firsts[i]       # device scalar, lazy sync
             self.active[slot] = req
 
+    def _advance_prefill(self) -> bool:
+        """Advance chunked prefills by ONE chunk (oldest request first).
+
+        Returns True if a chunk was dispatched. The final chunk computes the
+        prompt's last-token logits (lm_head streams once per admission),
+        samples the first token, and flips the request to decodable."""
+        pre = [(slot, r) for slot, r in self.active.items() if r.prefilling]
+        if not pre:
+            return False
+        slot, req = min(pre, key=lambda sr: sr[1].uid)
+        c = self.prefill_chunk
+        n = len(req.prompt)
+        start = req.prefill_pos
+        end = min(start + c, n)
+        toks = np.zeros((1, c), np.int32)
+        toks[0, :end - start] = req.prompt[start:end]
+        span = _span_bucket(start + c, self.max_seq)
+        x, self.cache = prefill_chunk_step(
+            self.params, self.cache, jnp.asarray(toks), jnp.int32(slot),
+            jnp.int32(start), jnp.int32(min(end, n)), self.config,
+            attn_span=span)
+        req.prefill_pos = end
+        if end >= n:
+            logits = prefill_final_logits(self.params, x,
+                                          jnp.int32(n - 1 - start),
+                                          self.config)
+            self.key, sub = jax.random.split(self.key)
+            req.pending_first = sample(logits[None, :], sub, req.params)[0]
+            req.prefilling = False
+        return True
+
     def _attn_span(self, extra_steps: int = 0) -> int:
         """Static attention-span bucket for the next decode chunk.
 
@@ -427,7 +542,8 @@ class DecodeEngine:
         by that many positions.
         """
         longest = max((len(r.prompt) + len(r.generated)
-                       for r in self.active.values()), default=0)
+                       for r in self.active.values() if not r.prefilling),
+                      default=0)
         return _span_bucket(longest + extra_steps + self.steps_per_sync,
                             self.max_seq)
 
@@ -439,6 +555,8 @@ class DecodeEngine:
         tokens = np.zeros((self.max_batch,), np.int32)
         active_mask = np.zeros((self.max_batch,), bool)
         for slot, req in list(self.active.items()):
+            if req.prefilling:
+                continue
             if req.pending_first is not None:
                 first = int(req.pending_first)
                 self._collect(slot, req, first)
@@ -492,6 +610,9 @@ class DecodeEngine:
         self._admit()
         if not self.active:
             return bool(self.waiting)
+        # one chunk of any in-progress chunked prefill interleaves with the
+        # decode chunk below (vLLM-style chunked prefill scheduling)
+        self._advance_prefill()
 
         # First tokens produced by prefill are consumed as this step's input.
         tokens, active_mask = self._host_inputs()
@@ -521,6 +642,7 @@ class DecodeEngine:
         # back to chunked decode when any slot samples stochastically or
         # the batch is out of sequence headroom)
         if (self.speculative == "ngram" and all_greedy
+                and not any(r.prefilling for r in self.active.values())
                 and max(len(r.prompt) + len(r.generated)
                         for r in self.active.values())
                 + self.spec_gamma + 1 < self.max_seq - 1):
@@ -649,6 +771,7 @@ class DecodeEngine:
                     "sampling": dataclasses.asdict(r.params),
                     "generated": list(r.generated), "slot": r.slot,
                     "done": r.done, "cancelled": r.cancelled,
+                    "prefilling": r.prefilling, "prefill_pos": r.prefill_pos,
                     "pending_first": None if r.pending_first is None
                     else int(r.pending_first)}
 
@@ -676,6 +799,8 @@ class DecodeEngine:
                            generated=list(d["generated"]), slot=d["slot"],
                            done=bool(d["done"]),
                            cancelled=bool(d.get("cancelled", False)),
+                           prefilling=bool(d.get("prefilling", False)),
+                           prefill_pos=int(d.get("prefill_pos", 0)),
                            pending_first=d["pending_first"])
 
         st = load_checkpoint(path)
@@ -740,6 +865,7 @@ class DecodeEngine:
                 if not self.waiting:
                     return
                 continue
+            self._advance_prefill()
             tokens, active_mask = self._host_inputs()
             if not active_mask.any():
                 if not (self.waiting or self.active):
@@ -781,9 +907,12 @@ class DecodeEngine:
                 self.metrics.record(emitted, _time.perf_counter() - t0)
                 t0 = _time.perf_counter()
                 # re-admit when a slot is actually free (a request can also
-                # retire at _host_inputs time, before any chunk finishes it)
+                # retire at _host_inputs time, before any chunk finishes it);
+                # also break to advance an in-flight chunked prefill
                 if not self.active or (self.waiting and
                                        len(self.active) < self.max_batch):
+                    break
+                if any(r.prefilling for r in self.active.values()):
                     break
             while inflight:
                 emitted, _ = self._collect_chunk(*inflight.popleft())

@@ -202,6 +202,27 @@ class KVCache:
                     self.v[layer, :, :, sl], self.v_scale[layer, :, :, sl])
         return self.k[layer, :, :, sl], None, self.v[layer, :, :, sl], None
 
+    def read_raw_slot(self, layer: int, slot, span: Optional[int] = None):
+        """Raw codes + scales for ONE slot: (k, k_scale, v, v_scale), codes
+        [1, H, span, D], scales [1, H, span] (None when unquantized).
+
+        ``slot`` may be traced (lax.dynamic_slice on the slot axis). The
+        chunked-prefill path: a prompt chunk's queries attend only to their
+        own slot's history, so reading the one slot keeps the attention
+        cost O(span) instead of O(B·span)."""
+        sl = slice(None) if span is None else slice(0, span)
+
+        def one(buf):
+            if buf is None:
+                return None
+            return jax.lax.dynamic_slice_in_dim(buf[layer], slot, 1,
+                                                axis=0)[:, :, sl]
+
+        if self.quantized:
+            return (one(self.k), one(self.k_scale),
+                    one(self.v), one(self.v_scale))
+        return one(self.k), None, one(self.v), None
+
     def reset_slot(self, slot: int) -> "KVCache":
         return dataclasses.replace(
             self, lengths=self.lengths.at[slot].set(0))

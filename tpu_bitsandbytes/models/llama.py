@@ -482,7 +482,8 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
                  config: LlamaConfig, *, n_heads: int, n_kv: int,
                  wrap=lambda w, row=False: w,
                  reduce_fn=lambda t, w: t,
-                 attn_span: Optional[int] = None):
+                 attn_span: Optional[int] = None,
+                 slot=None):
     """One transformer layer of the cached decode step (single token).
 
     Shared by the single-device decode step (engine/engine.py) and the
@@ -495,6 +496,9 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
     tokens per slot (speculative verify step) with per-token ``positions``
     [B, S]; the KV for all S tokens is written up front and the causal mask
     keeps each query from seeing later (or stale rejected) entries.
+    ``slot`` (traced int, optional): slot-targeted mode — x is one request's
+    [1, C] token chunk written into cache slot ``slot`` (chunked prefill);
+    attention reads only that slot's history.
     Returns (x, cache).
     """
     b, s, _ = x.shape
@@ -515,21 +519,33 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
         v = linear_apply(wrap(layer["v_proj"]), h).reshape(b, s, n_kv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    cache = cache.write_decode(li, k, v, pos2d)
+    if slot is None:
+        cache = cache.write_decode(li, k, v, pos2d)
+        reads = lambda: cache.read_raw(li, attn_span)
+    else:
+        # slot-targeted (chunked prefill): x is [1, C] for one cache slot;
+        # attention reads only that slot's history (O(span), not O(B·span))
+        cache = cache.write_decode(li, k, v, pos2d, slots=slot[None])
+        reads = lambda: cache.read_raw_slot(li, slot, attn_span)
     if cache.quantized and jnp.dtype(config.dtype) in (jnp.bfloat16,
                                                        jnp.float16):
         # scale-folded int8 attention: no dequantized K/V materialization,
         # bf16 MXU contractions (see gqa_attention_kv_quant)
-        kq, ks, vq, vs = cache.read_raw(li, attn_span)
+        kq, ks, vq, vs = reads()
         attn = gqa_attention_kv_quant(q, kq, ks, vq, vs, causal_offset=pos2d,
                                       window=config.sliding_window)
     elif cache.quantized:
-        k_all, v_all = cache.read(li, attn_span)
-        attn = gqa_attention(q, k_all, v_all, causal_offset=pos2d,
-                             window=config.sliding_window)
+        # f32 compute: dequantize the (slot-sliced) head-major codes
+        kq, ks, vq, vs = reads()
+        k_all = (kq.astype(jnp.float32)
+                 * (ks[..., None] / 127.0)).astype(config.dtype)
+        v_all = (vq.astype(jnp.float32)
+                 * (vs[..., None] / 127.0)).astype(config.dtype)
+        attn = gqa_attention_hm(q, k_all, v_all, causal_offset=pos2d,
+                                window=config.sliding_window)
     else:
         # unquantized cache: consume the head-major storage in place
-        k_hm, _, v_hm, _ = cache.read_raw(li, attn_span)
+        k_hm, _, v_hm, _ = reads()
         attn = gqa_attention_hm(q, k_hm, v_hm, causal_offset=pos2d,
                                 window=config.sliding_window)
     o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, s, -1))
