@@ -345,3 +345,75 @@ class TestLlama3RopeScalingVsHF:
         ours, cfg = _logits_ours(model.state_dict(), config, tokens)
         assert cfg.rope_scaling == ("linear", 2.0)
         _agree(ours, _logits_hf(model, tokens), atol=2e-4)
+
+
+class TestGemma2VsHF:
+    """Gemma2: sandwich norms, attn/final logit soft-capping, fixed
+    query_pre_attn_scalar attention scale, alternating sliding window.
+    All knobs set to values that visibly change the logits (window 8 <<
+    seq 24, scalar != head_dim, small caps)."""
+
+    @pytest.fixture(scope="class")
+    def hf_model(self):
+        torch.manual_seed(6)
+        config = transformers.Gemma2Config(
+            vocab_size=128, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=24,
+            max_position_embeddings=64, rms_norm_eps=1e-6,
+            rope_theta=10000.0, hidden_activation="gelu_pytorch_tanh",
+            attn_logit_softcapping=20.0, final_logit_softcapping=10.0,
+            query_pre_attn_scalar=16, sliding_window=8,
+            attn_implementation="eager")
+        model = transformers.Gemma2ForCausalLM(config).float().eval()
+        return model, config
+
+    def test_config_mapping(self, hf_model):
+        _, config = hf_model
+        cfg = llama_config_from_hf(config)
+        assert cfg.post_norms is True
+        assert cfg.attn_logit_softcap == 20.0
+        assert cfg.final_logit_softcap == 10.0
+        assert cfg.query_pre_attn_scalar == 16.0
+        assert cfg.sliding_window == 8
+        assert cfg.sliding_window_pattern == 2
+        assert cfg.rms_weight_offset == 1.0 and cfg.scale_embeddings
+
+    def test_fp32_logits_match(self, hf_model, rng):
+        model, config = hf_model
+        tokens = rng.integers(0, config.vocab_size, (2, 24))
+        ours, _ = _logits_ours(model.state_dict(), config, tokens)
+        _agree(ours, _logits_hf(model, tokens), atol=3e-4)
+
+    def test_alternating_window_pinned(self, hf_model, rng):
+        """4 layers, pattern 2: global layers (1, 3) see the whole context,
+        so a perturbation far beyond the sliding receptive field STILL
+        changes the last-token logits — and both implementations agree."""
+        model, config = hf_model
+        base = rng.integers(0, config.vocab_size, (1, 24))
+        far = base.copy()
+        far[0, 0] = (far[0, 0] + 1) % config.vocab_size
+        ours_b, _ = _logits_ours(model.state_dict(), config, base)
+        ours_f, _ = _logits_ours(model.state_dict(), config, far)
+        assert not np.allclose(ours_b[0, -1], ours_f[0, -1], atol=1e-4)
+        _agree(ours_f, _logits_hf(model, far), atol=3e-4)
+
+    def test_engine_decode_matches_hf_generate(self, hf_model, rng):
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        import dataclasses
+        model, config = hf_model
+        cfg = dataclasses.replace(llama_config_from_hf(config),
+                                  dtype=jnp.float32)
+        params = llama_params_from_state_dict(model.state_dict(), cfg,
+                                              dtype=jnp.float32)
+        prompt = list(map(int, rng.integers(0, config.vocab_size, 6)))
+        n_new = 10    # crosses the window-8 boundary during decode
+        with torch.no_grad():
+            hf_out = model.generate(
+                torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False,
+                pad_token_id=0)
+        expect = hf_out[0, len(prompt):].tolist()
+        eng = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                           quantized_kv=False)
+        got = eng.generate([prompt], SamplingParams(max_new_tokens=n_new))[0]
+        assert got == expect

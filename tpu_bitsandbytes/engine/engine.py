@@ -46,14 +46,10 @@ def _decode_step_impl(params, cache: KVCache, tokens, active,
 
     x = rms_norm(x, params["final_norm"], config.rms_eps,
                  config.rms_weight_offset)
-    head = params.get("lm_head", None)
-    if head is None:
-        logits = x[:, 0] @ params["embed"].T.astype(x.dtype)
-    else:
-        logits = linear_apply(head, x[:, 0])
+    logits = llama.head_logits(params, x[:, 0], config)
     cache = dataclasses.replace(
         cache, lengths=cache.lengths + active.astype(jnp.int32))
-    return logits.astype(jnp.float32), cache
+    return logits, cache
 
 
 @partial(jax.jit, static_argnames=("config", "attn_span"),
@@ -219,12 +215,7 @@ def prefill_final_logits(params, x: jnp.ndarray, idx: jnp.ndarray,
         axis=1)[:, 0]                                   # [1, H]
     xl = rms_norm(xl, params["final_norm"], config.rms_eps,
                   config.rms_weight_offset)
-    head = params.get("lm_head", None)
-    if head is None:
-        logits = xl @ params["embed"].T.astype(xl.dtype)
-    else:
-        logits = linear_apply(head, xl)
-    return logits[0].astype(jnp.float32)
+    return llama.head_logits(params, xl, config)[0]
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))

@@ -62,12 +62,8 @@ def _verify_impl(params, cache: KVCache, tokens, active,
             attn_span=attn_span)
     x = rms_norm(x, params["final_norm"], config.rms_eps,
                  config.rms_weight_offset)
-    head = params.get("lm_head", None)
-    if head is None:
-        logits = x @ params["embed"].T.astype(x.dtype)
-    else:
-        logits = linear_apply(head, x)                       # [B, G1, V]
-    preds = jnp.argmax(logits.astype(jnp.float32), axis=-1
+    logits = llama.head_logits(params, x, config)            # [B, G1, V]
+    preds = jnp.argmax(logits, axis=-1
                        ).astype(jnp.int32)                   # greedy targets
     # accepted drafts: longest prefix where the model's greedy choice after
     # consuming tokens[:, :j+1] equals the draft tokens[:, j+1]

@@ -303,8 +303,13 @@ def _causal_mask(s, t, causal_offset, window=None):
     return keep[:, None, None, :, :]                        # [B,1,1,S,T]
 
 
+def _softcap(logits, cap):
+    """Gemma2-style logit soft-capping: cap * tanh(x / cap) (fp32)."""
+    return cap * jnp.tanh(logits / cap)
+
+
 def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None,
-                  window=None):
+                  window=None, softcap=None):
     """Grouped-query attention over full K/V.
 
     q: [B, S, H, D]; k/v: [B, T, H_kv, D]. Returns [B, S, H, D].
@@ -329,6 +334,8 @@ def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None,
                                                    k.astype(jnp.float32))
     logits = jnp.einsum("bshrd,bthd->bhrst", qc, kc,
                         preferred_element_type=jnp.float32) * scale
+    if softcap is not None:
+        logits = _softcap(logits, softcap)
     if mask is None:
         mask = _causal_mask(s, t, causal_offset, window)
     logits = jnp.where(mask, logits, -1e30)
@@ -341,7 +348,7 @@ def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None,
 
 
 def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None,
-                     window=None):
+                     window=None, softcap=None):
     """GQA over **head-major** full-precision K/V (unquantized decode path).
 
     q: [B, S, H, D]; k/v: [B, H_kv, T, D] — the KV cache's storage layout
@@ -363,6 +370,8 @@ def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None,
                                                    k.astype(jnp.float32))
     logits = jnp.einsum("bshrd,bhtd->bhrst", qc, kc,
                         preferred_element_type=jnp.float32) * scale
+    if softcap is not None:
+        logits = _softcap(logits, softcap)
     logits = jnp.where(_causal_mask(s, t, causal_offset, window),
                        logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -374,7 +383,8 @@ def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None,
 
 
 def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
-                           causal_offset=None, scale=None, window=None):
+                           causal_offset=None, scale=None, window=None,
+                           softcap=None):
     """GQA directly over int8 KV codes (decode fast path).
 
     q: [B, S, H, D]; k_q/v_q: int8 **head-major** [B, H_kv, T, D];
@@ -412,6 +422,8 @@ def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
     # k_scale [B,H_kv,T] -> [B,H_kv,1,1,T] on the logits' output axis
     ks = (k_scale * (scale / 127.0))[:, :, None, None, :]
     logits = logits * ks
+    if softcap is not None:
+        logits = _softcap(logits, softcap)
     logits = jnp.where(_causal_mask(s, t, causal_offset, window),
                        logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)

@@ -62,6 +62,16 @@ class LlamaConfig:
     hidden_act: str = "silu"
     rms_weight_offset: float = 0.0
     scale_embeddings: bool = False
+    # Gemma2 knobs: sandwich norms (post_attn/post_ffn norms applied to the
+    # block OUTPUT before the residual add, plus a pre_ffn_norm), logit
+    # soft-capping, a fixed attention scale, and an alternating
+    # sliding-window pattern (layers with li % pattern == pattern-1 attend
+    # globally; the rest use sliding_window).
+    post_norms: bool = False
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    query_pre_attn_scalar: Optional[float] = None
+    sliding_window_pattern: Optional[int] = None
 
     @property
     def hd(self) -> int:
@@ -137,6 +147,32 @@ class LlamaConfig:
                            tie_embeddings=True, hidden_act="gelu_tanh",
                            rms_weight_offset=1.0, scale_embeddings=True)
 
+    # Gemma2: sandwich norms + softcapping + alternating sliding window.
+    @staticmethod
+    def tiny_gemma2() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=512, hidden_size=128,
+                           intermediate_size=256, num_layers=4, num_heads=4,
+                           num_kv_heads=2, head_dim=32, max_seq_len=128,
+                           rms_eps=1e-6, tie_embeddings=True,
+                           hidden_act="gelu_tanh", rms_weight_offset=1.0,
+                           scale_embeddings=True, post_norms=True,
+                           attn_logit_softcap=50.0, final_logit_softcap=30.0,
+                           query_pre_attn_scalar=32.0, sliding_window=16,
+                           sliding_window_pattern=2)
+
+    @staticmethod
+    def gemma2_9b() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=256000, hidden_size=3584,
+                           intermediate_size=14336, num_layers=42,
+                           num_heads=16, num_kv_heads=8, head_dim=256,
+                           max_seq_len=8192, rms_eps=1e-6,
+                           tie_embeddings=True, hidden_act="gelu_tanh",
+                           rms_weight_offset=1.0, scale_embeddings=True,
+                           post_norms=True, attn_logit_softcap=50.0,
+                           final_logit_softcap=30.0,
+                           query_pre_attn_scalar=256.0, sliding_window=4096,
+                           sliding_window_pattern=2)
+
     # Mistral family: Llama trunk + sliding-window attention.
     @staticmethod
     def tiny_mistral() -> "LlamaConfig":
@@ -183,6 +219,38 @@ def _embed_tokens(params, tokens, config: LlamaConfig):
     return x
 
 
+def _layer_window(config: LlamaConfig, li: int):
+    """Per-layer attention window: Gemma2-style patterns make layers with
+    li % pattern == pattern-1 global, the rest sliding."""
+    if config.sliding_window is None:
+        return None
+    p = config.sliding_window_pattern
+    if p is None:
+        return config.sliding_window
+    return None if (li % p == p - 1) else config.sliding_window
+
+
+def _attn_scale(config: LlamaConfig):
+    if config.query_pre_attn_scalar is not None:
+        return config.query_pre_attn_scalar ** -0.5
+    return None                                  # default 1/sqrt(head_dim)
+
+
+def head_logits(params, x, config: LlamaConfig):
+    """LM head (tied or separate) + Gemma2 final-logit soft-capping.
+    x [..., H] -> fp32 logits [..., V]."""
+    head = params.get("lm_head", None)
+    if head is None:
+        logits = x @ params["embed"].T.astype(x.dtype)
+    else:
+        logits = linear_apply(head, x)
+    logits = logits.astype(jnp.float32)
+    cap = config.final_logit_softcap
+    if cap is not None:
+        logits = cap * jnp.tanh(logits / cap)
+    return logits
+
+
 def init_params(key: jax.Array, config: LlamaConfig,
                 dtype=None) -> Params:
     """Random-init full-precision params (for benches and tests)."""
@@ -217,6 +285,9 @@ def init_params(key: jax.Array, config: LlamaConfig,
                 layer[name] = w
         layer["input_norm"] = jnp.ones((h,), dtype)
         layer["post_attn_norm"] = jnp.ones((h,), dtype)
+        if config.post_norms:
+            layer["pre_ffn_norm"] = jnp.ones((h,), dtype)
+            layer["post_ffn_norm"] = jnp.ones((h,), dtype)
         layers.append(layer)
     params = {
         "embed": dense(keys[-2], (config.vocab_size, h)),
@@ -347,7 +418,7 @@ def build_runtime_cache(params: Params, fmt: str = "int8",
 
 
 def _attention_block(layer, x, cos, sin, config: LlamaConfig, cache_kv=None,
-                     positions=None):
+                     positions=None, li: int = 0):
     """Returns (attn_out, (k_new, v_new)). cache_kv: (k_all, v_all) with the
     new k/v already written by the caller for decode, or None for prefill."""
     b, s, h = x.shape
@@ -369,12 +440,14 @@ def _attention_block(layer, x, cos, sin, config: LlamaConfig, cache_kv=None,
             b, s, config.num_kv_heads, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    win = _layer_window(config, li)
+    sc, cap = _attn_scale(config), config.attn_logit_softcap
     if cache_kv is None:
-        attn = gqa_attention(q, k, v, window=config.sliding_window)
+        attn = gqa_attention(q, k, v, window=win, scale=sc, softcap=cap)
     else:
         k_all, v_all, causal_offset = cache_kv
         attn = gqa_attention(q, k_all, v_all, causal_offset=causal_offset,
-                             window=config.sliding_window)
+                             window=win, scale=sc, softcap=cap)
     out = linear_apply(layer["o_proj"], attn.reshape(b, s, -1))
     return out, (k, v)
 
@@ -392,7 +465,7 @@ def _mlp_block(layer, x, config: LlamaConfig):
 def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
                   n_heads: int, n_kv: int,
                   wrap=lambda w, row=False: w,
-                  reduce_fn=lambda t, w: t):
+                  reduce_fn=lambda t, w: t, li: int = 0):
     """One transformer layer of a causal prefill (no cache history).
 
     The S>1 counterpart of :func:`decode_layer`, sharing its ``wrap`` /
@@ -417,11 +490,17 @@ def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
         v = linear_apply(wrap(layer["v_proj"]), h).reshape(b, s, n_kv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    attn = gqa_attention(q, k, v, window=config.sliding_window)
+    attn = gqa_attention(q, k, v, window=_layer_window(config, li),
+                         scale=_attn_scale(config),
+                         softcap=config.attn_logit_softcap)
     o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, s, -1))
-    x = x + reduce_fn(o, layer["o_proj"])
-    h = rms_norm(x, layer["post_attn_norm"], config.rms_eps,
-                 config.rms_weight_offset)
+    eps, off = config.rms_eps, config.rms_weight_offset
+    o_full = reduce_fn(o, layer["o_proj"])
+    if config.post_norms:
+        o_full = rms_norm(o_full, layer["post_attn_norm"], eps, off)
+    x = x + o_full
+    h = rms_norm(x, layer["pre_ffn_norm" if config.post_norms
+                 else "post_attn_norm"], eps, off)
     if "gateup_proj" in layer:
         gate, up = jnp.split(linear_apply(wrap(layer["gateup_proj"]), h), 2,
                              axis=-1)
@@ -430,7 +509,10 @@ def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
         up = linear_apply(wrap(layer["up_proj"]), h)
     d = linear_apply(wrap(layer["down_proj"], row=True),
                      _act(config)(gate) * up)
-    x = x + reduce_fn(d, layer["down_proj"])
+    d_full = reduce_fn(d, layer["down_proj"])
+    if config.post_norms:
+        d_full = rms_norm(d_full, layer["post_ffn_norm"], eps, off)
+    x = x + d_full
     return x, (k, v)
 
 
@@ -454,25 +536,26 @@ def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
     sin = jnp.take(sin_full, positions, axis=0)
 
     x = _embed_tokens(params, tokens, config)
+    eps, off = config.rms_eps, config.rms_weight_offset
     new_kv = []
     for li, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["input_norm"], config.rms_eps,
-                 config.rms_weight_offset)
+        h = rms_norm(x, layer["input_norm"], eps, off)
         cache_kv = kv_caches[li] if kv_caches is not None else None
-        attn, kv = _attention_block(layer, h, cos, sin, config, cache_kv)
+        attn, kv = _attention_block(layer, h, cos, sin, config, cache_kv,
+                                    li=li)
+        if config.post_norms:       # Gemma2 sandwich: norm the block OUTPUT
+            attn = rms_norm(attn, layer["post_attn_norm"], eps, off)
         x = x + attn
-        h = rms_norm(x, layer["post_attn_norm"], config.rms_eps,
-                 config.rms_weight_offset)
-        x = x + _mlp_block(layer, h, config)
+        h = rms_norm(x, layer["pre_ffn_norm" if config.post_norms
+                     else "post_attn_norm"], eps, off)
+        m = _mlp_block(layer, h, config)
+        if config.post_norms:
+            m = rms_norm(m, layer["post_ffn_norm"], eps, off)
+        x = x + m
         if return_kv:
             new_kv.append(kv)
-    x = rms_norm(x, params["final_norm"], config.rms_eps,
-                 config.rms_weight_offset)
-    head = params.get("lm_head", None)
-    if head is None:
-        logits = x @ params["embed"].T.astype(x.dtype)
-    else:
-        logits = linear_apply(head, x)
+    x = rms_norm(x, params["final_norm"], eps, off)
+    logits = head_logits(params, x, config)
     if return_kv:
         return logits, new_kv
     return logits
@@ -527,13 +610,15 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
         # attention reads only that slot's history (O(span), not O(B·span))
         cache = cache.write_decode(li, k, v, pos2d, slots=slot[None])
         reads = lambda: cache.read_raw_slot(li, slot, attn_span)
+    win = _layer_window(config, li)
+    sc, cap = _attn_scale(config), config.attn_logit_softcap
     if cache.quantized and jnp.dtype(config.dtype) in (jnp.bfloat16,
                                                        jnp.float16):
         # scale-folded int8 attention: no dequantized K/V materialization,
         # bf16 MXU contractions (see gqa_attention_kv_quant)
         kq, ks, vq, vs = reads()
         attn = gqa_attention_kv_quant(q, kq, ks, vq, vs, causal_offset=pos2d,
-                                      window=config.sliding_window)
+                                      window=win, scale=sc, softcap=cap)
     elif cache.quantized:
         # f32 compute: dequantize the (slot-sliced) head-major codes
         kq, ks, vq, vs = reads()
@@ -542,16 +627,20 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
         v_all = (vq.astype(jnp.float32)
                  * (vs[..., None] / 127.0)).astype(config.dtype)
         attn = gqa_attention_hm(q, k_all, v_all, causal_offset=pos2d,
-                                window=config.sliding_window)
+                                window=win, scale=sc, softcap=cap)
     else:
         # unquantized cache: consume the head-major storage in place
         k_hm, _, v_hm, _ = reads()
         attn = gqa_attention_hm(q, k_hm, v_hm, causal_offset=pos2d,
-                                window=config.sliding_window)
+                                window=win, scale=sc, softcap=cap)
     o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, s, -1))
-    x = x + reduce_fn(o, layer["o_proj"])
-    h = rms_norm(x, layer["post_attn_norm"], config.rms_eps,
-                 config.rms_weight_offset)
+    eps, off = config.rms_eps, config.rms_weight_offset
+    o_full = reduce_fn(o, layer["o_proj"])
+    if config.post_norms:
+        o_full = rms_norm(o_full, layer["post_attn_norm"], eps, off)
+    x = x + o_full
+    h = rms_norm(x, layer["pre_ffn_norm" if config.post_norms
+                 else "post_attn_norm"], eps, off)
     if "gateup_proj" in layer:
         gateup = linear_apply(wrap(layer["gateup_proj"]), h)
         gate, up = jnp.split(gateup, 2, axis=-1)
@@ -560,7 +649,10 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
         up = linear_apply(wrap(layer["up_proj"]), h)
     d = linear_apply(wrap(layer["down_proj"], row=True),
                      _act(config)(gate) * up)
-    x = x + reduce_fn(d, layer["down_proj"])
+    d_full = reduce_fn(d, layer["down_proj"])
+    if config.post_norms:
+        d_full = rms_norm(d_full, layer["post_ffn_norm"], eps, off)
+    x = x + d_full
     return x, cache
 
 

@@ -97,9 +97,13 @@ def _tp_decode_impl(params, cache: KVCache, tokens, active,
     else:
         local = linear_apply(_localize(head), x[:, 0])   # [B, V/tp]
         logits = jax.lax.all_gather(local, tp_axis, axis=1, tiled=True)
+    logits = logits.astype(jnp.float32)
+    cap = config.final_logit_softcap
+    if cap is not None:          # Gemma2: cap AFTER assembling full logits
+        logits = cap * jnp.tanh(logits / cap)
     cache = dataclasses.replace(
         cache, lengths=cache.lengths + active.astype(jnp.int32))
-    return logits.astype(jnp.float32), cache
+    return logits, cache
 
 
 def _tp_decode_chunk_impl(params, cache: KVCache, tokens, active, key, samp,
@@ -175,7 +179,7 @@ def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
     for li, layer in enumerate(params["layers"]):
         x, (k, v) = llama.prefill_layer(
             layer, x, cos, sin, config, n_heads=n_heads, n_kv=n_kv,
-            wrap=wrap, reduce_fn=reduce_fn)
+            wrap=wrap, reduce_fn=reduce_fn, li=li)
         cache = cache.write_prefill(li, local_slot, k[0], v[0], 0, own=own)
 
     cur = cache.lengths[local_slot]
@@ -194,7 +198,11 @@ def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
     else:
         local = linear_apply(_localize(head), x_last)   # [1, V/tp]
         logits = jax.lax.all_gather(local, tp_axis, axis=1, tiled=True)
-    return logits[0].astype(jnp.float32), cache
+    logits = logits.astype(jnp.float32)
+    cap = config.final_logit_softcap
+    if cap is not None:          # Gemma2: cap AFTER assembling full logits
+        logits = cap * jnp.tanh(logits / cap)
+    return logits[0], cache
 
 
 def make_tp_prefill_step(mesh: Mesh, params, config: llama.LlamaConfig,

@@ -63,10 +63,15 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
             raise ValueError(f"unsupported rope_scaling type: {kind!r}")
     # Gemma: gelu MLP (hidden_activation supersedes hidden_act in newer HF
     # configs), (1+w) RMSNorm, sqrt(hidden)-scaled embeddings, always-tied.
-    gemma = get("model_type") == "gemma"
+    # Gemma2 adds sandwich norms, logit softcapping, a fixed attention
+    # scale, and an every-other-layer sliding window.
+    gemma2 = get("model_type") == "gemma2"
+    gemma = get("model_type") == "gemma" or gemma2
     hidden_act = get("hidden_activation") or get("hidden_act") or "silu"
     if hidden_act == "silu" and gemma:
         hidden_act = "gelu_pytorch_tanh"
+    if gemma2 and sliding_window is None:
+        sliding_window = get("sliding_window")
     return llama.LlamaConfig(
         vocab_size=get("vocab_size"),
         hidden_size=get("hidden_size"),
@@ -89,6 +94,13 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
                      "gelu": "gelu"}[hidden_act]),
         rms_weight_offset=1.0 if gemma else 0.0,
         scale_embeddings=gemma,
+        post_norms=gemma2,
+        attn_logit_softcap=get("attn_logit_softcapping") if gemma2 else None,
+        final_logit_softcap=(get("final_logit_softcapping")
+                             if gemma2 else None),
+        query_pre_attn_scalar=(float(get("query_pre_attn_scalar"))
+                               if gemma2 else None),
+        sliding_window_pattern=2 if gemma2 else None,
     )
 
 
@@ -147,6 +159,11 @@ def llama_params_from_state_dict(state_dict: Dict[str, Any],
             "post_attn_norm": jnp.asarray(
                 grab(p + "post_attention_layernorm.weight")).astype(dtype),
         })
+        if config.post_norms:       # Gemma2 sandwich norms
+            layers[-1]["pre_ffn_norm"] = jnp.asarray(grab(
+                p + "pre_feedforward_layernorm.weight")).astype(dtype)
+            layers[-1]["post_ffn_norm"] = jnp.asarray(grab(
+                p + "post_feedforward_layernorm.weight")).astype(dtype)
     params = {
         "embed": jnp.asarray(grab("embed_tokens.weight")).astype(dtype),
         "layers": layers,
