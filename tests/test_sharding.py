@@ -405,3 +405,47 @@ class TestTPQwen2Bias:
         logits_ref, _ = decode_step(q_unf, cache_ref, tokens, active, cfg)
         np.testing.assert_allclose(np.asarray(logits_tp),
                                    np.asarray(logits_ref), atol=2e-3)
+
+
+class TestTPGemma2:
+    """Gemma2 knobs (sandwich norms, softcaps, alternating window, fixed
+    attention scale) flow through the shard_map TP decode unchanged."""
+
+    def test_tp_gemma2_decode_matches_single_device(self, rng):
+        cfg = llama.LlamaConfig(vocab_size=512, hidden_size=128,
+                                intermediate_size=256, num_layers=4,
+                                num_heads=4, num_kv_heads=4, head_dim=32,
+                                max_seq_len=64, dtype=jnp.float32,
+                                rms_eps=1e-6, tie_embeddings=True,
+                                hidden_act="gelu_tanh", rms_weight_offset=1.0,
+                                scale_embeddings=True, post_norms=True,
+                                attn_logit_softcap=20.0,
+                                final_logit_softcap=10.0,
+                                query_pre_attn_scalar=16.0, sliding_window=8,
+                                sliding_window_pattern=2)
+        params = llama.init_params(jax.random.PRNGKey(9), cfg,
+                                   dtype=jnp.float32)
+        qparams = llama.quantize_params(params, blocksize=32,
+                                        dtype=jnp.float32)
+        mesh = make_mesh(tp=4, dp=2)
+        sharded = shard_params(qparams, mesh)
+        batch = 4
+        cache = KVCache.create(cfg.num_layers, batch, 32, cfg.num_kv_heads,
+                               cfg.hd, quantized=False, dtype=jnp.float32)
+        cache = jax.device_put(
+            cache, jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), kv_cache_spec(cache),
+                is_leaf=lambda x: isinstance(x, P)))
+        step = make_tp_decode_step(mesh, sharded, cfg, cache)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch,)),
+                             dtype=jnp.int32)
+        active = jnp.ones((batch,), bool)
+        logits_tp, _ = step(sharded, cache, tokens, active)
+
+        from tpu_bitsandbytes.engine import decode_step
+        cache_ref = KVCache.create(cfg.num_layers, batch, 32,
+                                   cfg.num_kv_heads, cfg.hd, quantized=False,
+                                   dtype=jnp.float32)
+        logits_ref, _ = decode_step(qparams, cache_ref, tokens, active, cfg)
+        np.testing.assert_allclose(np.asarray(logits_tp),
+                                   np.asarray(logits_ref), atol=2e-3)
