@@ -449,3 +449,24 @@ class TestTPGemma2:
         logits_ref, _ = decode_step(qparams, cache_ref, tokens, active, cfg)
         np.testing.assert_allclose(np.asarray(logits_tp),
                                    np.asarray(logits_ref), atol=2e-3)
+
+
+class TestQLoRARemat:
+    def test_remat_step_matches_plain(self, tp_model, rng):
+        """jax.checkpoint per layer must not change loss or updates."""
+        from tpu_bitsandbytes.parallel.train import make_qlora_train_step
+        cfg, params = tp_model
+        qp = llama.quantize_params(params, blocksize=32, dtype=jnp.float32)
+        qp = attach_lora(qp, rank=4, key=jax.random.PRNGKey(1))
+        trainable = lora_trainable(qp)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 16)),
+                             dtype=jnp.int32)
+        init_a, step_a = make_qlora_train_step(cfg)
+        init_b, step_b = make_qlora_train_step(cfg, remat=True)
+        ta, oa, la = step_a(trainable, init_a(trainable), qp, tokens)
+        tb, ob, lb = step_b(trainable, init_b(trainable), qp, tokens)
+        assert np.allclose(float(la), float(lb), rtol=1e-6)
+        for x, y in zip(jax.tree_util.tree_leaves(ta),
+                        jax.tree_util.tree_leaves(tb)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-6)

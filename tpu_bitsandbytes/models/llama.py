@@ -518,7 +518,8 @@ def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
 
 def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
             positions: Optional[jnp.ndarray] = None,
-            kv_caches=None, return_kv: bool = False):
+            kv_caches=None, return_kv: bool = False,
+            remat: bool = False):
     """Full forward.
 
     tokens [B, S] int32. ``positions`` [B, S] (default aranged). Without
@@ -526,6 +527,11 @@ def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
     (k_all [B,T,Hkv,D], v_all, causal_offset [B,S])) attention runs against
     the cache contents. Returns logits [B, S, V] (+ list of per-layer new
     (k, v) when ``return_kv``).
+
+    ``remat``: wrap each transformer layer in ``jax.checkpoint`` — the
+    backward pass recomputes layer activations instead of keeping them
+    live, trading ~1 extra forward of FLOPs for O(layers) less activation
+    memory (the standard long-sequence / large-batch QLoRA training trade).
     """
     b, s = tokens.shape
     if positions is None:
@@ -538,9 +544,9 @@ def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
     x = _embed_tokens(params, tokens, config)
     eps, off = config.rms_eps, config.rms_weight_offset
     new_kv = []
-    for li, layer in enumerate(params["layers"]):
+
+    def layer_fn(layer, x, cos, sin, cache_kv, li):
         h = rms_norm(x, layer["input_norm"], eps, off)
-        cache_kv = kv_caches[li] if kv_caches is not None else None
         attn, kv = _attention_block(layer, h, cos, sin, config, cache_kv,
                                     li=li)
         if config.post_norms:       # Gemma2 sandwich: norm the block OUTPUT
@@ -551,7 +557,13 @@ def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
         m = _mlp_block(layer, h, config)
         if config.post_norms:
             m = rms_norm(m, layer["post_ffn_norm"], eps, off)
-        x = x + m
+        return x + m, kv
+
+    for li, layer in enumerate(params["layers"]):
+        cache_kv = kv_caches[li] if kv_caches is not None else None
+        blk = (jax.checkpoint(partial(layer_fn, cache_kv=cache_kv, li=li))
+               if remat else partial(layer_fn, cache_kv=cache_kv, li=li))
+        x, kv = blk(layer, x, cos, sin)
         if return_kv:
             new_kv.append(kv)
     x = rms_norm(x, params["final_norm"], eps, off)
