@@ -86,16 +86,22 @@ def random_quantized_params(config, blocksize=64, fuse_projections=True,
                  for i, name in enumerate(shapes)}
         layer["input_norm"] = jnp.ones((h,), config.dtype)
         layer["post_attn_norm"] = jnp.ones((h,), config.dtype)
+        if config.post_norms:                        # Gemma2 sandwich norms
+            layer["pre_ffn_norm"] = jnp.ones((h,), config.dtype)
+            layer["post_ffn_norm"] = jnp.ones((h,), config.dtype)
         layers.append(layer)
     key, k1, k2 = jax.random.split(key, 3)
-    return {
+    out = {
         "embed": (jax.random.normal(k1, (config.vocab_size, h)) * 0.02
                   ).astype(config.dtype),
         "layers": layers,
         "final_norm": jnp.ones((h,), config.dtype),
-        "lm_head": random_qlinear(k2, config.vocab_size, h, blocksize,
-                                  config.dtype, runtime_cache, drop_packed),
     }
+    if not config.tie_embeddings:
+        out["lm_head"] = random_qlinear(k2, config.vocab_size, h, blocksize,
+                                        config.dtype, runtime_cache,
+                                        drop_packed)
+    return out
 
 
 def bytes_per_token(params, config, cache, batch=1, attn_span=None):
@@ -108,12 +114,16 @@ def bytes_per_token(params, config, cache, batch=1, attn_span=None):
     per-token write.
     """
     w_bytes = 0
+    tied = "lm_head" not in params
     for leaf in jax.tree_util.tree_leaves(
             params, is_leaf=lambda x: isinstance(x, QLinear4)):
         if isinstance(leaf, QLinear4):
             w_bytes += leaf.hbm_bytes()
         elif leaf.ndim >= 1 and leaf.shape[0] == config.vocab_size:
-            w_bytes += config.hidden_size * leaf.dtype.itemsize  # row gather
+            # embedding: row gather per token — but a tied head streams the
+            # WHOLE table every step for the logits matmul
+            w_bytes += (leaf.size if tied else config.hidden_size
+                        ) * leaf.dtype.itemsize
         else:
             w_bytes += leaf.size * leaf.dtype.itemsize
     kv_full = sum(a.size * a.dtype.itemsize
@@ -141,7 +151,9 @@ def describe_path(params):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="7b", choices=["7b", "tiny", "1b"])
+    ap.add_argument("--model", default="7b",
+                    choices=["7b", "tiny", "1b", "qwen2-7b", "mistral-7b",
+                             "gemma2-9b"])
     ap.add_argument("--batch", type=int, default=8,
                     help="decode slots (BASELINE config 3: continuous batching)")
     ap.add_argument("--chunk-steps", type=int, default=32,
@@ -171,6 +183,12 @@ def main():
         config = llama.LlamaConfig(hidden_size=2048, intermediate_size=5504,
                                    num_layers=16, num_heads=16,
                                    num_kv_heads=16)
+    elif args.model == "qwen2-7b":
+        config = llama.LlamaConfig.qwen2_5_7b()
+    elif args.model == "mistral-7b":
+        config = llama.LlamaConfig.mistral_7b()
+    elif args.model == "gemma2-9b":
+        config = llama.LlamaConfig.gemma2_9b()
     else:
         config = llama.LlamaConfig.tiny()
 
