@@ -1,15 +1,21 @@
 """Interactive chat demo on the NF4 decode engine (reference: demo/chat.py).
 
-With a local HF checkpoint directory it loads + quantizes the real model;
-without one it falls back to a random-weight tiny Llama so the engine loop is
-demonstrable in any environment (this sandbox has no network).
+With a local HF checkpoint directory it loads + quantizes the real model —
+any supported family (Llama/Llama-3, Qwen2/2.5, Mistral, Gemma, Gemma2; the
+conversion reads the family off the HF config). Without one it falls back to
+a random-weight tiny Llama so the engine loop is demonstrable in any
+environment (this sandbox has no network). Tokens stream as they decode.
 
 Usage:
-  python demo/chat.py [--model /path/to/llama/dir] [--max-new 64]
+  python demo/chat.py [--model /path/to/hf/checkpoint] [--max-new 64]
 """
 
 import argparse
+import os
 import sys
+
+# runnable as `python demo/chat.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -19,7 +25,8 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default=None,
-                    help="local HF Llama checkpoint directory")
+                    help="local HF checkpoint directory "
+                         "(Llama/Qwen2/Mistral/Gemma/Gemma2)")
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--temperature", type=float, default=0.0)
     args = ap.parse_args()
@@ -61,9 +68,16 @@ def main():
             ids = tokenizer(line)["input_ids"]
         else:
             ids = [ord(c) % 1024 for c in line]
-        out = engine.generate([ids], sp)[0]
+        # stream tokens as decode chunks complete
+        out, shown = [], 0
+        for _, tok, _done in engine.generate_stream([ids], sp):
+            out.append(tok)
+            if tokenizer:
+                text = tokenizer.decode(out, skip_special_tokens=True)
+                print(text[shown:], end="", flush=True)
+                shown = len(text)
         if tokenizer:
-            print(tokenizer.decode(out, skip_special_tokens=True))
+            print()
         else:
             print(f"(random-model tokens) {out}")
 
