@@ -417,3 +417,94 @@ class TestGemma2VsHF:
                            quantized_kv=False)
         got = eng.generate([prompt], SamplingParams(max_new_tokens=n_new))[0]
         assert got == expect
+
+
+class TestMixtralVsHF:
+    """Mixtral sparse MoE: softmax-all -> top-2 -> renormalized routing,
+    per-expert SwiGLU. 4 experts / top-2 so routing decisions actually
+    split across experts."""
+
+    @pytest.fixture(scope="class")
+    def hf_model(self):
+        torch.manual_seed(8)
+        config = transformers.MixtralConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rms_norm_eps=1e-5, rope_theta=10000.0,
+            num_local_experts=4, num_experts_per_tok=2,
+            sliding_window=None, tie_word_embeddings=False,
+            attn_implementation="eager")
+        model = transformers.MixtralForCausalLM(config).float().eval()
+        return model, config
+
+    def test_config_mapping(self, hf_model):
+        _, config = hf_model
+        cfg = llama_config_from_hf(config)
+        assert cfg.num_experts == 4
+        assert cfg.experts_per_token == 2
+
+    def test_fp32_logits_match(self, hf_model, rng):
+        model, config = hf_model
+        tokens = rng.integers(0, config.vocab_size, (2, 12))
+        ours, _ = _logits_ours(model.state_dict(), config, tokens)
+        _agree(ours, _logits_hf(model, tokens), atol=3e-4)
+
+    def test_routing_is_sparse(self, hf_model, rng):
+        """Zeroing an expert that top-2 routing never selects for a token
+        must not change that token's logits; verify our router agrees with
+        HF's by construction (logits already matched elementwise)."""
+        from tpu_bitsandbytes.models.llama import _moe_mlp
+        import dataclasses
+        model, config = hf_model
+        cfg = dataclasses.replace(llama_config_from_hf(config),
+                                  dtype=jnp.float32)
+        params = llama_params_from_state_dict(model.state_dict(), cfg,
+                                              dtype=jnp.float32)
+        moe = params["layers"][0]["moe"]
+        x = jnp.asarray(rng.standard_normal((1, 5, 64)), jnp.float32)
+        out = _moe_mlp(moe, x, cfg)
+        # top-2 of 4: exactly 2 experts contribute per token; perturbing a
+        # never-selected expert's weights must leave the output unchanged
+        logits = np.asarray(x @ jnp.asarray(moe["router"]).T)
+        sel = set(np.argsort(-logits, axis=-1)[..., :2].ravel().tolist())
+        unused = [e for e in range(4) if e not in sel]
+        if unused:
+            e = unused[0]
+            moe2 = {"router": moe["router"],
+                    "experts": list(moe["experts"])}
+            moe2["experts"][e] = jax.tree_util.tree_map(
+                lambda a: a * 0.0, moe["experts"][e])
+            out2 = _moe_mlp(moe2, x, cfg)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                                       atol=1e-6)
+
+    def test_nf4_quantized_tracks(self, hf_model, rng):
+        model, config = hf_model
+        tokens = rng.integers(0, config.vocab_size, (1, 8))
+        ours, _ = _logits_ours(model.state_dict(), config, tokens,
+                               quantize=True)
+        ref = _logits_hf(model, tokens)
+        c = (ours.ravel() @ ref.ravel()) / (
+            np.linalg.norm(ours) * np.linalg.norm(ref) + 1e-9)
+        assert c > 0.95
+
+    def test_engine_decode_matches_hf_generate(self, hf_model, rng):
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        import dataclasses
+        model, config = hf_model
+        cfg = dataclasses.replace(llama_config_from_hf(config),
+                                  dtype=jnp.float32)
+        params = llama_params_from_state_dict(model.state_dict(), cfg,
+                                              dtype=jnp.float32)
+        prompt = list(map(int, rng.integers(0, config.vocab_size, 6)))
+        n_new = 8
+        with torch.no_grad():
+            hf_out = model.generate(
+                torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False,
+                pad_token_id=0)
+        expect = hf_out[0, len(prompt):].tolist()
+        eng = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                           quantized_kv=False)
+        got = eng.generate([prompt], SamplingParams(max_new_tokens=n_new))[0]
+        assert got == expect

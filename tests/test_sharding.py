@@ -470,3 +470,46 @@ class TestQLoRARemat:
                         jax.tree_util.tree_leaves(tb)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        atol=1e-6)
+
+
+class TestTPMixtral:
+    """MoE experts shard like the dense MLP (gate/up columns, down rows);
+    expert partials sum locally before ONE psum per layer."""
+
+    def test_tp_moe_decode_matches_single_device(self, rng):
+        cfg = llama.LlamaConfig(vocab_size=512, hidden_size=128,
+                                intermediate_size=256, num_layers=2,
+                                num_heads=4, num_kv_heads=4, max_seq_len=64,
+                                dtype=jnp.float32, num_experts=4,
+                                experts_per_token=2)
+        params = llama.init_params(jax.random.PRNGKey(11), cfg,
+                                   dtype=jnp.float32)
+        qparams = llama.quantize_params(params, blocksize=32,
+                                        dtype=jnp.float32)
+        mesh = make_mesh(tp=4, dp=2)
+        sharded = shard_params(qparams, mesh)
+        e0 = sharded["layers"][0]["moe"]["experts"][0]
+        assert e0["gate_proj"].packed.sharding.spec == P("tp", None)
+        assert e0["down_proj"].packed.sharding.spec == P(None, "tp")
+        assert (sharded["layers"][0]["moe"]["router"].sharding.spec
+                == P())
+        batch = 4
+        cache = KVCache.create(cfg.num_layers, batch, 32, cfg.num_kv_heads,
+                               cfg.hd, quantized=False, dtype=jnp.float32)
+        cache = jax.device_put(
+            cache, jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), kv_cache_spec(cache),
+                is_leaf=lambda x: isinstance(x, P)))
+        step = make_tp_decode_step(mesh, sharded, cfg, cache)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch,)),
+                             dtype=jnp.int32)
+        active = jnp.ones((batch,), bool)
+        logits_tp, _ = step(sharded, cache, tokens, active)
+
+        from tpu_bitsandbytes.engine import decode_step
+        cache_ref = KVCache.create(cfg.num_layers, batch, 32,
+                                   cfg.num_kv_heads, cfg.hd, quantized=False,
+                                   dtype=jnp.float32)
+        logits_ref, _ = decode_step(qparams, cache_ref, tokens, active, cfg)
+        np.testing.assert_allclose(np.asarray(logits_tp),
+                                   np.asarray(logits_ref), atol=2e-3)

@@ -72,6 +72,12 @@ class LlamaConfig:
     final_logit_softcap: Optional[float] = None
     query_pre_attn_scalar: Optional[float] = None
     sliding_window_pattern: Optional[int] = None
+    # Mixtral-style sparse MoE MLP: num_experts > 0 replaces the dense
+    # gate/up/down MLP with a router + per-expert SwiGLU experts;
+    # experts_per_token = top-k routing (softmax over all experts, top-k
+    # renormalized — the Mixtral convention).
+    num_experts: int = 0
+    experts_per_token: int = 2
 
     @property
     def hd(self) -> int:
@@ -173,6 +179,22 @@ class LlamaConfig:
                            query_pre_attn_scalar=256.0, sliding_window=4096,
                            sliding_window_pattern=2)
 
+    # Mixtral: Mistral trunk + sparse MoE MLP (8 experts, top-2).
+    @staticmethod
+    def tiny_mixtral() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=512, hidden_size=128,
+                           intermediate_size=256, num_layers=2, num_heads=4,
+                           num_kv_heads=2, max_seq_len=128,
+                           num_experts=4, experts_per_token=2)
+
+    @staticmethod
+    def mixtral_8x7b() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=32000, hidden_size=4096,
+                           intermediate_size=14336, num_layers=32,
+                           num_heads=32, num_kv_heads=8,
+                           max_seq_len=32768, rope_theta=1000000.0,
+                           num_experts=8, experts_per_token=2)
+
     # Mistral family: Llama trunk + sliding-window attention.
     @staticmethod
     def tiny_mistral() -> "LlamaConfig":
@@ -210,6 +232,41 @@ def _act(config: LlamaConfig):
     if config.hidden_act == "gelu":
         return partial(jax.nn.gelu, approximate=False)
     raise ValueError(f"unknown hidden_act: {config.hidden_act!r}")
+
+
+def _moe_mlp(moe, x, config: LlamaConfig,
+             wrap=lambda w, row=False: w,
+             reduce_fn=lambda t, w: t):
+    """Mixtral sparse-MoE MLP (dense formulation, TPU-friendly shapes).
+
+    Router: softmax over ALL experts -> top-k -> renormalize (the HF Mixtral
+    convention). Every expert runs on every token and is masked by its
+    routing weight — on TPU the masked-dense form keeps the MXU busy with
+    static shapes instead of data-dependent gather/scatter dispatch; at
+    decode batch sizes the expert matmuls are HBM-bound streams of the
+    (quantized) expert weights either way. Row-parallel expert outputs are
+    summed across experts BEFORE the single tp reduction (one psum per
+    layer, not per expert).
+    """
+    router = moe["router"]
+    logits = (x.astype(jnp.float32)
+              @ router.T.astype(jnp.float32))           # [B, S, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    k = config.experts_per_token
+    topv, topi = jax.lax.top_k(probs, k)                # [B, S, k]
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    onehot = jax.nn.one_hot(topi, config.num_experts,
+                            dtype=probs.dtype)          # [B, S, k, E]
+    w = jnp.sum(topv[..., None] * onehot, axis=-2)      # [B, S, E]
+    act = _act(config)
+    partial = None
+    for e, exp in enumerate(moe["experts"]):
+        gate = linear_apply(wrap(exp["gate_proj"]), x)
+        up = linear_apply(wrap(exp["up_proj"]), x)
+        d = linear_apply(wrap(exp["down_proj"], row=True), act(gate) * up)
+        d = d * w[..., e:e + 1].astype(d.dtype)
+        partial = d if partial is None else partial + d
+    return reduce_fn(partial, None)     # experts carry no biases
 
 
 def _embed_tokens(params, tokens, config: LlamaConfig):
@@ -273,16 +330,30 @@ def init_params(key: jax.Array, config: LlamaConfig,
 
     layers = []
     biased = ("q_proj", "k_proj", "v_proj") if config.attention_bias else ()
+    mlp_names = ("gate_proj", "up_proj", "down_proj")
     for li in range(config.num_layers):
         lk = jax.random.split(keys[li], 2 * len(_LINEAR_NAMES))
         layer = {}
         for i, name in enumerate(_LINEAR_NAMES):
+            if config.num_experts > 0 and name in mlp_names:
+                continue            # replaced by the MoE block below
             w = dense(lk[i], shapes[name])
             if name in biased:
                 b = dense(lk[len(_LINEAR_NAMES) + i], shapes[name][:1])
                 layer[name] = {"w": w, "b": b}
             else:
                 layer[name] = w
+        if config.num_experts > 0:
+            rk = jax.random.split(jax.random.fold_in(keys[li], 7),
+                                  3 * config.num_experts + 1)
+            layer["moe"] = {
+                "router": dense(rk[0], (config.num_experts, h)),
+                "experts": [
+                    {"gate_proj": dense(rk[1 + 3 * e], shapes["gate_proj"]),
+                     "up_proj": dense(rk[2 + 3 * e], shapes["up_proj"]),
+                     "down_proj": dense(rk[3 + 3 * e], shapes["down_proj"])}
+                    for e in range(config.num_experts)],
+            }
         layer["input_norm"] = jnp.ones((h,), dtype)
         layer["post_attn_norm"] = jnp.ones((h,), dtype)
         if config.post_norms:
@@ -372,18 +443,27 @@ def quantize_params(params: Params, blocksize: int = 64,
 
     for layer in params["layers"]:
         ql = dict(layer)
+        if "moe" in layer:
+            ql["moe"] = {
+                "router": layer["moe"]["router"],   # tiny; stays fp
+                "experts": [{n: q(exp[n]) for n in
+                             ("gate_proj", "up_proj", "down_proj")}
+                            for exp in layer["moe"]["experts"]],
+            }
         if fuse_projections:
             for name in _LINEAR_NAMES:
                 ql.pop(name, None)
             ql["qkv_proj"] = q_fused(
                 [layer["q_proj"], layer["k_proj"], layer["v_proj"]])
-            ql["gateup_proj"] = q_fused(
-                [layer["gate_proj"], layer["up_proj"]])
+            if "moe" not in layer:
+                ql["gateup_proj"] = q_fused(
+                    [layer["gate_proj"], layer["up_proj"]])
+                ql["down_proj"] = q(layer["down_proj"])
             ql["o_proj"] = q(layer["o_proj"])
-            ql["down_proj"] = q(layer["down_proj"])
         else:
             for name in _LINEAR_NAMES:
-                ql[name] = q(layer[name])
+                if name in layer:
+                    ql[name] = q(layer[name])
         out["layers"].append(ql)
     if "lm_head" in params:
         out["lm_head"] = QLinear4.quantize(
@@ -407,10 +487,14 @@ def build_runtime_cache(params: Params, fmt: str = "int8",
         return (w.with_runtime_cache(fmt, drop_packed=drop_packed)
                 if isinstance(w, QLinear4) else w)
 
+    def conv_tree(t):
+        """Convert every QLinear4 anywhere in a (possibly nested) layer —
+        MoE layers nest experts under layer["moe"]["experts"]."""
+        return jax.tree_util.tree_map(
+            conv, t, is_leaf=lambda x: isinstance(x, QLinear4))
+
     out = {k: v for k, v in params.items()}
-    out["layers"] = [
-        {k: conv(v) for k, v in layer.items()}
-        for layer in params["layers"]]
+    out["layers"] = [conv_tree(layer) for layer in params["layers"]]
     for key in ("lm_head",):
         if key in params and not any(s in key for s in skip):
             out[key] = conv(params[key])
@@ -453,6 +537,8 @@ def _attention_block(layer, x, cos, sin, config: LlamaConfig, cache_kv=None,
 
 
 def _mlp_block(layer, x, config: LlamaConfig):
+    if "moe" in layer:
+        return _moe_mlp(layer["moe"], x, config)
     if "gateup_proj" in layer:
         gate, up = jnp.split(linear_apply(layer["gateup_proj"], x), 2,
                              axis=-1)
@@ -501,15 +587,18 @@ def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
     x = x + o_full
     h = rms_norm(x, layer["pre_ffn_norm" if config.post_norms
                  else "post_attn_norm"], eps, off)
-    if "gateup_proj" in layer:
-        gate, up = jnp.split(linear_apply(wrap(layer["gateup_proj"]), h), 2,
-                             axis=-1)
+    if "moe" in layer:
+        d_full = _moe_mlp(layer["moe"], h, config, wrap, reduce_fn)
     else:
-        gate = linear_apply(wrap(layer["gate_proj"]), h)
-        up = linear_apply(wrap(layer["up_proj"]), h)
-    d = linear_apply(wrap(layer["down_proj"], row=True),
-                     _act(config)(gate) * up)
-    d_full = reduce_fn(d, layer["down_proj"])
+        if "gateup_proj" in layer:
+            gate, up = jnp.split(linear_apply(wrap(layer["gateup_proj"]), h),
+                                 2, axis=-1)
+        else:
+            gate = linear_apply(wrap(layer["gate_proj"]), h)
+            up = linear_apply(wrap(layer["up_proj"]), h)
+        d = linear_apply(wrap(layer["down_proj"], row=True),
+                         _act(config)(gate) * up)
+        d_full = reduce_fn(d, layer["down_proj"])
     if config.post_norms:
         d_full = rms_norm(d_full, layer["post_ffn_norm"], eps, off)
     x = x + d_full
@@ -653,15 +742,18 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
     x = x + o_full
     h = rms_norm(x, layer["pre_ffn_norm" if config.post_norms
                  else "post_attn_norm"], eps, off)
-    if "gateup_proj" in layer:
-        gateup = linear_apply(wrap(layer["gateup_proj"]), h)
-        gate, up = jnp.split(gateup, 2, axis=-1)
+    if "moe" in layer:
+        d_full = _moe_mlp(layer["moe"], h, config, wrap, reduce_fn)
     else:
-        gate = linear_apply(wrap(layer["gate_proj"]), h)
-        up = linear_apply(wrap(layer["up_proj"]), h)
-    d = linear_apply(wrap(layer["down_proj"], row=True),
-                     _act(config)(gate) * up)
-    d_full = reduce_fn(d, layer["down_proj"])
+        if "gateup_proj" in layer:
+            gateup = linear_apply(wrap(layer["gateup_proj"]), h)
+            gate, up = jnp.split(gateup, 2, axis=-1)
+        else:
+            gate = linear_apply(wrap(layer["gate_proj"]), h)
+            up = linear_apply(wrap(layer["up_proj"]), h)
+        d = linear_apply(wrap(layer["down_proj"], row=True),
+                         _act(config)(gate) * up)
+        d_full = reduce_fn(d, layer["down_proj"])
     if config.post_norms:
         d_full = rms_norm(d_full, layer["post_ffn_norm"], eps, off)
     x = x + d_full

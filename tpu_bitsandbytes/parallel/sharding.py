@@ -78,7 +78,19 @@ def llama_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     for layer in params["layers"]:
         ls = {}
         for name, w in layer.items():
-            if name in _COL:
+            if name == "moe":
+                # each expert shards like the dense MLP (gate/up columns,
+                # down rows); the tiny router is replicated
+                ls[name] = {
+                    "router": P(),
+                    "experts": [
+                        {"gate_proj": _linear_spec(e["gate_proj"], col=True),
+                         "up_proj": _linear_spec(e["up_proj"], col=True),
+                         "down_proj": _linear_spec(e["down_proj"],
+                                                   col=False)}
+                        for e in w["experts"]],
+                }
+            elif name in _COL:
                 ls[name] = _linear_spec(w, col=True)
             elif name in _ROW:
                 ls[name] = _linear_spec(w, col=False)

@@ -72,6 +72,7 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
         hidden_act = "gelu_pytorch_tanh"
     if gemma2 and sliding_window is None:
         sliding_window = get("sliding_window")
+    num_experts = get("num_local_experts") or 0
     return llama.LlamaConfig(
         vocab_size=get("vocab_size"),
         hidden_size=get("hidden_size"),
@@ -101,6 +102,8 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
         query_pre_attn_scalar=(float(get("query_pre_attn_scalar"))
                                if gemma2 else None),
         sliding_window_pattern=2 if gemma2 else None,
+        num_experts=num_experts,
+        experts_per_token=get("num_experts_per_tok", 2) or 2,
     )
 
 
@@ -146,19 +149,33 @@ def llama_params_from_state_dict(state_dict: Dict[str, Any],
     layers = []
     for li in range(config.num_layers):
         p = f"layers.{li}."
-        layers.append({
+        entry = {
             "q_proj": lin(p + "self_attn.q_proj"),
             "k_proj": lin(p + "self_attn.k_proj"),
             "v_proj": lin(p + "self_attn.v_proj"),
             "o_proj": lin(p + "self_attn.o_proj"),
-            "gate_proj": lin(p + "mlp.gate_proj"),
-            "up_proj": lin(p + "mlp.up_proj"),
-            "down_proj": lin(p + "mlp.down_proj"),
             "input_norm": jnp.asarray(
                 grab(p + "input_layernorm.weight")).astype(dtype),
             "post_attn_norm": jnp.asarray(
                 grab(p + "post_attention_layernorm.weight")).astype(dtype),
-        })
+        }
+        if config.num_experts > 0:
+            # Mixtral block_sparse_moe: w1=gate, w3=up, w2=down
+            mp = p + "block_sparse_moe."
+            entry["moe"] = {
+                "router": jnp.asarray(
+                    grab(mp + "gate.weight")).astype(jnp.float32),
+                "experts": [
+                    {"gate_proj": lin(mp + f"experts.{e}.w1"),
+                     "up_proj": lin(mp + f"experts.{e}.w3"),
+                     "down_proj": lin(mp + f"experts.{e}.w2")}
+                    for e in range(config.num_experts)],
+            }
+        else:
+            entry["gate_proj"] = lin(p + "mlp.gate_proj")
+            entry["up_proj"] = lin(p + "mlp.up_proj")
+            entry["down_proj"] = lin(p + "mlp.down_proj")
+        layers.append(entry)
         if config.post_norms:       # Gemma2 sandwich norms
             layers[-1]["pre_ffn_norm"] = jnp.asarray(grab(
                 p + "pre_feedforward_layernorm.weight")).astype(dtype)
