@@ -508,3 +508,52 @@ class TestMixtralVsHF:
                            quantized_kv=False)
         got = eng.generate([prompt], SamplingParams(max_new_tokens=n_new))[0]
         assert got == expect
+
+
+class TestPhi3VsHF:
+    """Phi-3: Llama math with checkpoint-fused qkv_proj / gate_up_proj —
+    the conversion splits them back into separate leaves."""
+
+    @pytest.fixture(scope="class")
+    def hf_model(self):
+        torch.manual_seed(9)
+        config = transformers.Phi3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rms_norm_eps=1e-5, rope_theta=10000.0, pad_token_id=0,
+            tie_word_embeddings=False, attn_implementation="eager")
+        model = transformers.Phi3ForCausalLM(config).float().eval()
+        return model, config
+
+    def test_fused_checkpoint_layout(self, hf_model):
+        model, _ = hf_model
+        sd = model.state_dict()
+        assert "model.layers.0.self_attn.qkv_proj.weight" in sd
+        assert "model.layers.0.mlp.gate_up_proj.weight" in sd
+
+    def test_fp32_logits_match(self, hf_model, rng):
+        model, config = hf_model
+        tokens = rng.integers(0, config.vocab_size, (2, 10))
+        ours, _ = _logits_ours(model.state_dict(), config, tokens)
+        _agree(ours, _logits_hf(model, tokens), atol=2e-4)
+
+    def test_engine_decode_matches_hf_generate(self, hf_model, rng):
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        import dataclasses
+        model, config = hf_model
+        cfg = dataclasses.replace(llama_config_from_hf(config),
+                                  dtype=jnp.float32)
+        params = llama_params_from_state_dict(model.state_dict(), cfg,
+                                              dtype=jnp.float32)
+        prompt = list(map(int, rng.integers(0, config.vocab_size, 5)))
+        with torch.no_grad():
+            hf_out = model.generate(
+                torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
+                pad_token_id=0)
+        expect = hf_out[0, len(prompt):].tolist()
+        eng = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                           quantized_kv=False)
+        got = eng.generate([prompt],
+                           SamplingParams(max_new_tokens=8))[0]
+        assert got == expect

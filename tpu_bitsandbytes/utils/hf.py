@@ -146,19 +146,46 @@ def llama_params_from_state_dict(state_dict: Dict[str, Any],
         w = w.astype(dtype)
         return w if b is None else {"w": w, "b": b}
 
+    def lin_split(name, sizes, parts):
+        """Split a checkpoint-fused weight (Phi-3 qkv_proj / gate_up_proj)
+        into separate leaves along dim 0, quantizing each part."""
+        w = jnp.asarray(grab(name + ".weight"))
+        offs = np.cumsum([0] + sizes)
+        out = {}
+        for part, a, b in zip(parts, offs[:-1], offs[1:]):
+            wp = w[a:b]
+            if quantize:
+                out[part] = QLinear4.quantize(
+                    wp.astype(jnp.float32), blocksize=blocksize,
+                    quant_type=quant_type, dtype=dtype,
+                    compress_statistics=compress_statistics)
+            else:
+                out[part] = wp.astype(dtype)
+        return out
+
+    nq = config.num_heads * config.hd
+    nkv = config.num_kv_heads * config.hd
     layers = []
     for li in range(config.num_layers):
         p = f"layers.{li}."
-        entry = {
-            "q_proj": lin(p + "self_attn.q_proj"),
-            "k_proj": lin(p + "self_attn.k_proj"),
-            "v_proj": lin(p + "self_attn.v_proj"),
+        if "model.layers.%d.self_attn.qkv_proj.weight" % li in state_dict \
+                or f"layers.{li}.self_attn.qkv_proj.weight" in state_dict:
+            # Phi-3 layout: fused qkv (q;k;v rows) + fused gate_up
+            entry = lin_split(p + "self_attn.qkv_proj", [nq, nkv, nkv],
+                              ["q_proj", "k_proj", "v_proj"])
+        else:
+            entry = {
+                "q_proj": lin(p + "self_attn.q_proj"),
+                "k_proj": lin(p + "self_attn.k_proj"),
+                "v_proj": lin(p + "self_attn.v_proj"),
+            }
+        entry.update({
             "o_proj": lin(p + "self_attn.o_proj"),
             "input_norm": jnp.asarray(
                 grab(p + "input_layernorm.weight")).astype(dtype),
             "post_attn_norm": jnp.asarray(
                 grab(p + "post_attention_layernorm.weight")).astype(dtype),
-        }
+        })
         if config.num_experts > 0:
             # Mixtral block_sparse_moe: w1=gate, w3=up, w2=down
             mp = p + "block_sparse_moe."
@@ -171,6 +198,13 @@ def llama_params_from_state_dict(state_dict: Dict[str, Any],
                      "down_proj": lin(mp + f"experts.{e}.w2")}
                     for e in range(config.num_experts)],
             }
+        elif (f"model.layers.{li}.mlp.gate_up_proj.weight" in state_dict
+              or f"layers.{li}.mlp.gate_up_proj.weight" in state_dict):
+            entry.update(lin_split(p + "mlp.gate_up_proj",
+                                   [config.intermediate_size,
+                                    config.intermediate_size],
+                                   ["gate_proj", "up_proj"]))
+            entry["down_proj"] = lin(p + "mlp.down_proj")
         else:
             entry["gate_proj"] = lin(p + "mlp.gate_proj")
             entry["up_proj"] = lin(p + "mlp.up_proj")
