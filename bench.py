@@ -232,7 +232,7 @@ def main():
     def chunk(cache, tokens, active, key):
         """One engine dispatch: chunk_steps greedy decode steps in one jit
         call (sampling on device — exactly what DecodeEngine.step issues)."""
-        toks_seq, act_seq, cache, tokens, active, key = decode_chunk(
+        toks_seq, act_seq, cache, tokens, active, key, _, _ = decode_chunk(
             params, cache, tokens, active, key, samp, config,
             n_steps=args.chunk_steps, all_greedy=True, attn_span=span)
         return cache, tokens, active, key, toks_seq

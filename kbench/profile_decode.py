@@ -47,7 +47,7 @@ def main():
         key = jax.random.PRNGKey(0)
 
         def run(cache, tokens, active, key):
-            _, _, cache, tokens, active, key = decode_chunk(
+            _, _, cache, tokens, active, key, _, _ = decode_chunk(
                 params, cache, tokens, active, key, samp, config,
                 n_steps=args.chunk_steps, all_greedy=True,
                 attn_span=args.attn_span)

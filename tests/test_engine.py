@@ -378,7 +378,7 @@ class TestDecodeChunk:
                                  jnp.int32(5), cfg)
         samp = SamplingArrays.build(
             {0: SamplingParams(eos_token_id=eos)}, 1)
-        toks_seq, act_seq, cache2, _, active, _ = decode_chunk(
+        toks_seq, act_seq, cache2, _, active, *_ = decode_chunk(
             params, cache2, t0, jnp.ones((1,), bool), jax.random.PRNGKey(0),
             samp, cfg, n_steps=4, all_greedy=True)
         act = np.asarray(act_seq)[:, 0]
@@ -804,3 +804,105 @@ class TestChunkedPrefill:
         while e2.step():
             pass
         assert e2.finished[0].generated == ref
+
+
+class TestServingSamplerFeatures:
+    def test_repetition_penalty_breaks_greedy_loops(self, tiny_model, rng):
+        """A strong penalty must forbid immediate re-emission of seen
+        tokens (greedy path: the argmax is reshaped)."""
+        cfg, params = tiny_model
+        prompt = list(rng.integers(0, cfg.vocab_size, 6))
+        base = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                            quantized_kv=False).generate(
+            [prompt], SamplingParams(max_new_tokens=12))[0]
+        e = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                         quantized_kv=False)
+        pen = e.generate([prompt], SamplingParams(
+            max_new_tokens=12, repetition_penalty=1e6))[0]
+        # with an effectively-infinite penalty every positive-logit seen
+        # token is suppressed: no token may repeat (vocab 512 >> 12+6)
+        assert len(set(pen)) == len(pen)
+        assert not set(pen) & set(prompt)
+        # and the unpenalized engine is unchanged by the feature existing
+        base2 = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                             quantized_kv=False).generate(
+            [prompt], SamplingParams(max_new_tokens=12))[0]
+        assert base == base2
+
+    def test_repetition_penalty_matches_hf_semantics(self, rng):
+        """apply_repetition_penalty == torch HF RepetitionPenaltyLogitsProcessor."""
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        from tpu_bitsandbytes.engine.sampler import apply_repetition_penalty
+        logits = rng.standard_normal((2, 50)).astype(np.float32)
+        hist = [list(rng.integers(0, 50, 8)), list(rng.integers(0, 50, 5))]
+        proc = transformers.RepetitionPenaltyLogitsProcessor(penalty=1.7)
+        ref = np.stack([
+            proc(torch.tensor([hist[b]]),
+                 torch.tensor(logits[b:b+1])).numpy()[0]
+            for b in range(2)])
+        mask = np.zeros((2, 50), bool)
+        for b in range(2):
+            mask[b, hist[b]] = True
+        pen = np.full((2,), 1.7, np.float32)
+        got = np.asarray(apply_repetition_penalty(
+            jnp.asarray(logits), jnp.asarray(mask), jnp.asarray(pen)))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_penalty_steady_across_chunk_boundaries(self, tiny_model, rng):
+        """The seen mask chains on device within a pipelined run and is
+        rebuilt across dispatches; steps_per_sync must not change output."""
+        cfg, params = tiny_model
+        prompt = list(rng.integers(0, cfg.vocab_size, 6))
+        sp = SamplingParams(max_new_tokens=10, repetition_penalty=1.5)
+        outs = []
+        for n_sync in (1, 4):
+            e = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                             quantized_kv=False, steps_per_sync=n_sync)
+            outs.append(e.generate([prompt], sp)[0])
+        assert outs[0] == outs[1]
+
+    def test_logprobs_returned_and_consistent(self, tiny_model, rng):
+        """Per-token logprobs match a teacher-forced forward re-scoring."""
+        from tpu_bitsandbytes.models import llama as L
+        cfg, params = tiny_model
+        prompt = list(rng.integers(0, cfg.vocab_size, 5))
+        sp = SamplingParams(max_new_tokens=6, logprobs=True)
+        e = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                         quantized_kv=False)
+        e.add_request(prompt, sp)
+        while e.step():
+            pass
+        req = e.finished[0]
+        assert len(req.logprobs) == len(req.generated) - 1 or \
+            len(req.logprobs) == len(req.generated)
+        # teacher-forced re-score: logits at position t predict token t+1
+        toks = jnp.asarray([prompt + req.generated])
+        logits = L.forward(params, toks, cfg)
+        lp = np.asarray(jax.nn.log_softmax(
+            np.asarray(logits, np.float32), axis=-1))
+        # decode-step logprobs cover generated[1:] (the first token comes
+        # from prefill, which doesn't emit a logprob)
+        offset = len(req.generated) - len(req.logprobs)
+        for j, got in enumerate(req.logprobs):
+            pos = len(prompt) - 1 + offset + j      # predicts generated[j+offset]
+            want = lp[0, pos, req.generated[j + offset]]
+            # decode-path vs teacher-forced forward numerics differ at the
+            # 1e-3 level (attention span slicing, einsum order); an indexing
+            # bug would be off by whole logits
+            assert abs(got - want) < 2e-2
+
+    def test_stop_sequences(self, tiny_model, rng):
+        """Generation stops once the output ends with a stop sequence."""
+        cfg, params = tiny_model
+        prompt = list(rng.integers(0, cfg.vocab_size, 6))
+        base = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                            quantized_kv=False).generate(
+            [prompt], SamplingParams(max_new_tokens=12))[0]
+        assert len(base) == 12
+        stop = (tuple(base[3:5]),)
+        e = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                         quantized_kv=False)
+        got = e.generate([prompt], SamplingParams(max_new_tokens=12,
+                                                  stop=stop))[0]
+        assert got == base[:5]              # stopped right after the match

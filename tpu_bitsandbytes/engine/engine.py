@@ -72,7 +72,8 @@ def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
                  active: jnp.ndarray, key: jax.Array, samp,
                  config: llama.LlamaConfig, n_steps: int = 8,
                  all_greedy: bool = False,
-                 attn_span: Optional[int] = None):
+                 attn_span: Optional[int] = None,
+                 seen_mask: Optional[jnp.ndarray] = None):
     """Advance every slot up to ``n_steps`` tokens in ONE jit call.
 
     Sampling (per-slot :class:`SamplingArrays`) and EOS handling run on
@@ -82,29 +83,49 @@ def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
     A slot that hits its EOS mid-chunk goes inactive on device; its later
     emissions carry ``active=False`` and are discarded by the scheduler.
 
+    ``seen_mask`` [B, V] bool (optional): per-slot seen-token mask enabling
+    the repetition penalty (applies to greedy rows too — it reshapes the
+    argmax); the mask is updated on device as tokens are emitted and
+    returned for chaining across chunks.
+
     Returns (tokens_seq [n_steps, B], active_seq [n_steps, B], cache,
-    last_tokens [B], active [B], key).
+    last_tokens [B], active [B], key, logprobs_seq [n_steps, B], seen_mask).
+    ``logprobs_seq`` is the model log-softmax at each emitted token
+    (pre-penalty, pre-temperature — the serving-API convention).
     """
     max_seq = cache.max_seq
+    b = tokens.shape[0]
 
     def body(carry, _):
-        cache, tokens, active, key = carry
+        cache, tokens, active, key, seen = carry
         logits, cache = _decode_step_impl(params, cache, tokens, active,
                                           config, attn_span)
+        lp_full = jax.nn.log_softmax(logits, axis=-1)
         key, sub = jax.random.split(key)
-        if all_greedy:
-            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if seen is not None:
+            from .sampler import apply_repetition_penalty
+            pen_logits = apply_repetition_penalty(logits, seen, samp.rep_pen)
         else:
-            toks = sample_batched(logits, sub, samp)
+            pen_logits = logits
+        if all_greedy:
+            toks = jnp.argmax(pen_logits, axis=-1).astype(jnp.int32)
+        else:
+            toks = sample_batched(pen_logits, sub, samp)
         toks = jnp.where(active, toks, tokens)
+        lp = jnp.take_along_axis(lp_full, toks[:, None], axis=-1)[:, 0]
+        if seen is not None:
+            rows = jnp.arange(b)
+            seen = seen.at[rows, toks].set(seen[rows, toks] | active)
         emitted_by = active
         hit_eos = active & (toks == samp.eos_id)
         active = active & ~hit_eos & (cache.lengths < max_seq - 1)
-        return (cache, toks, active, key), (toks, emitted_by)
+        return (cache, toks, active, key, seen), (toks, emitted_by, lp)
 
-    (cache, tokens, active, key), (toks_seq, act_seq) = jax.lax.scan(
-        body, (cache, tokens, active, key), None, length=n_steps)
-    return toks_seq, act_seq, cache, tokens, active, key
+    (cache, tokens, active, key, seen_mask), (toks_seq, act_seq, lp_seq) = \
+        jax.lax.scan(body, (cache, tokens, active, key, seen_mask), None,
+                     length=n_steps)
+    return (toks_seq, act_seq, cache, tokens, active, key, lp_seq,
+            seen_mask)
 
 
 def _prefill_impl(params, cache: KVCache, tokens, slot, true_len,
@@ -134,7 +155,7 @@ def prefill_step(params, cache: KVCache, tokens: jnp.ndarray, slot: jnp.ndarray,
 @partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
 def prefill_batch(params, cache: KVCache, tokens: jnp.ndarray,
                   slots: jnp.ndarray, true_lens: jnp.ndarray, key: jax.Array,
-                  samp, config: llama.LlamaConfig):
+                  samp, config: llama.LlamaConfig, seen_mask=None):
     """Prefill R same-bucket requests in ONE forward: tokens [R, S_pad],
     slots [R] (target cache slots), true_lens [R].
 
@@ -147,6 +168,9 @@ def prefill_batch(params, cache: KVCache, tokens: jnp.ndarray,
     row's true_len write garbage KV under the standard contract (decode
     overwrites position p before attending past it).
 
+    ``seen_mask`` [R, V] (optional) applies per-row repetition penalties
+    over the prompts when sampling the first tokens.
+
     Returns (first_tokens [R] sampled per-row with ``samp``, cache).
     """
     logits, new_kv = llama.forward(params, tokens, config, return_kv=True)
@@ -157,7 +181,8 @@ def prefill_batch(params, cache: KVCache, tokens: jnp.ndarray,
         cache, lengths=cache.lengths.at[slots].set(true_lens))
     last = jnp.take_along_axis(
         logits, (true_lens - 1)[:, None, None], axis=1)[:, 0]   # [R, V]
-    firsts = sample_batched(last.astype(jnp.float32), key, samp)
+    firsts = sample_batched(last.astype(jnp.float32), key, samp,
+                            seen_mask=seen_mask)
     return firsts, cache
 
 
@@ -256,6 +281,8 @@ class Request:
     # decodable until the final chunk samples its first token.
     prefilling: bool = False
     prefill_pos: int = 0
+    # per-token model logprobs (filled when params.logprobs)
+    logprobs: List[float] = dataclasses.field(default_factory=list)
 
 
 def _bucket(n: int, max_seq: int) -> int:
@@ -361,10 +388,16 @@ class DecodeEngine:
                     on_token=None) -> int:
         """Queue a prompt. ``on_token(uid, token, done)`` streams emissions
         to the caller as chunks are collected (see :meth:`generate_stream`)."""
+        sp = sampling or SamplingParams()
+        if self.mesh is not None and (sp.repetition_penalty != 1.0
+                                      or sp.logprobs):
+            raise NotImplementedError(
+                "repetition_penalty/logprobs are single-device engine "
+                "features (the mesh decode chunk does not thread the "
+                "seen-token mask or logprob outputs yet)")
         self._uid += 1
         self.waiting.append(Request(self._uid, list(map(int, prompt_tokens)),
-                                    sampling or SamplingParams(),
-                                    on_token=on_token))
+                                    sp, on_token=on_token))
         return self._uid
 
     def cancel(self, uid: int) -> bool:
@@ -446,11 +479,9 @@ class DecodeEngine:
             last_logits, self.cache = prefill_step(
                 self.params, self.cache, jnp.asarray(toks),
                 jnp.int32(slot), jnp.int32(s), self.config)
-        self.key, sub = jax.random.split(self.key)
         # device scalar — the host sync is deferred to _host_inputs so
         # back-to-back admissions pipeline their prefill dispatches
-        req.pending_first = sample(last_logits[None, :], sub,
-                                   req.params)[0]
+        req.pending_first = self._sample_first(last_logits, req)
         self.active[slot] = req
 
     def _admit_group(self, s_pad: int, grp: list):
@@ -479,15 +510,54 @@ class DecodeEngine:
         for i in range(r, r_pad):       # pad rows duplicate row 0
             toks[i], slots[i], lens[i] = toks[0], slots[0], lens[0]
             t[i], k[i], p[i], e[i] = t[0], k[0], p[0], e[0]
+        r_pen = np.asarray([grp[min(i, r - 1)][1].params.repetition_penalty
+                            for i in range(r_pad)], np.float32)
+        r_pen[r:] = r_pen[0]
         samp = SamplingArrays(jnp.asarray(t), jnp.asarray(k),
-                              jnp.asarray(p), jnp.asarray(e))
+                              jnp.asarray(p), jnp.asarray(e),
+                              jnp.asarray(r_pen))
+        mask = None
+        if np.any(r_pen != 1.0):
+            m = np.zeros((r_pad, self.config.vocab_size), bool)
+            for i in range(r_pad):
+                _, rq = grp[i] if i < r else grp[0]
+                m[i, rq.prompt] = True
+            mask = jnp.asarray(m)
         self.key, sub = jax.random.split(self.key)
         firsts, self.cache = prefill_batch(
             self.params, self.cache, jnp.asarray(toks), jnp.asarray(slots),
-            jnp.asarray(lens), sub, samp, self.config)
+            jnp.asarray(lens), sub, samp, self.config, mask)
         for i, (slot, req) in enumerate(grp):
             req.pending_first = firsts[i]       # device scalar, lazy sync
             self.active[slot] = req
+
+    def _needs_seen_mask(self) -> bool:
+        return any(r.params.repetition_penalty != 1.0
+                   for r in self.active.values())
+
+    def _seen_mask(self):
+        """[B, V] bool: tokens in each active slot's prompt+generated
+        (the repetition-penalty history). Rebuilt per dispatch from host
+        bookkeeping; chained on device within pipelined chunk chains."""
+        m = np.zeros((self.max_batch, self.config.vocab_size), bool)
+        for slot, req in self.active.items():
+            if req.prefilling:
+                continue
+            m[slot, req.prompt] = True
+            if req.generated:
+                m[slot, req.generated] = True
+        return jnp.asarray(m)
+
+    def _sample_first(self, logits, req: Request):
+        """Sample a request's first token from prefill logits [V], applying
+        its repetition penalty over the prompt history."""
+        self.key, sub = jax.random.split(self.key)
+        if req.params.repetition_penalty != 1.0:
+            m = np.zeros((1, self.config.vocab_size), bool)
+            m[0, req.prompt] = True
+            return sample(logits[None, :], sub, req.params,
+                          jnp.asarray(m))[0]
+        return sample(logits[None, :], sub, req.params)[0]
 
     def _advance_prefill(self) -> bool:
         """Advance chunked prefills by ONE chunk (oldest request first).
@@ -515,8 +585,7 @@ class DecodeEngine:
             logits = prefill_final_logits(self.params, x,
                                           jnp.int32(n - 1 - start),
                                           self.config)
-            self.key, sub = jax.random.split(self.key)
-            req.pending_first = sample(logits[None, :], sub, req.params)[0]
+            req.pending_first = self._sample_first(logits, req)
             req.prefilling = False
         return True
 
@@ -561,7 +630,8 @@ class DecodeEngine:
             active_mask[slot] = True
         return tokens, active_mask
 
-    def _collect_chunk(self, toks_seq, act_seq) -> "tuple[int, bool]":
+    def _collect_chunk(self, toks_seq, act_seq,
+                       lp_seq=None) -> "tuple[int, bool]":
         """Pull one chunk's emissions to the host and feed the bookkeeping.
 
         Emissions for slots whose request already finished (device keeps
@@ -569,6 +639,8 @@ class DecodeEngine:
         ``req is None`` guard. Returns (n_emitted, any_request_finished)."""
         toks_seq = np.asarray(toks_seq)
         act_seq = np.asarray(act_seq)
+        if lp_seq is not None:
+            lp_seq = np.asarray(lp_seq)
         finished_before = len(self.finished)
         emitted = 0
         for i in range(toks_seq.shape[0]):
@@ -576,17 +648,24 @@ class DecodeEngine:
                 req = self.active.get(slot)
                 if req is None or not act_seq[i, slot]:
                     continue
-                self._collect(slot, req, int(toks_seq[i, slot]))
+                self._collect(slot, req, int(toks_seq[i, slot]),
+                              None if lp_seq is None else lp_seq[i, slot])
                 emitted += 1
         return emitted, len(self.finished) > finished_before
 
-    def _collect(self, slot: int, req: Request, token: int):
+    def _collect(self, slot: int, req: Request, token: int, lp=None):
         req.generated.append(token)
         sp = req.params
+        if sp.logprobs and lp is not None:
+            req.logprobs.append(float(lp))
         out_of_room = (len(req.prompt) + len(req.generated)
                        >= self.max_seq - 1)
+        gen = req.generated
+        hit_stop = any(
+            len(gen) >= len(st) and tuple(gen[-len(st):]) == tuple(st)
+            for st in sp.stop)
         if ((sp.eos_token_id is not None and token == sp.eos_token_id)
-                or len(req.generated) >= sp.max_new_tokens or out_of_room):
+                or len(gen) >= sp.max_new_tokens or out_of_room or hit_stop):
             req.done = True
             self.finished.append(req)
             del self.active[slot]
@@ -633,6 +712,9 @@ class DecodeEngine:
         # back to chunked decode when any slot samples stochastically or
         # the batch is out of sequence headroom)
         if (self.speculative == "ngram" and all_greedy
+                and not self._needs_seen_mask()
+                and not any(r.params.logprobs or r.params.stop
+                            for r in self.active.values())
                 and not any(r.prefilling for r in self.active.values())
                 and max(len(r.prompt) + len(r.generated)
                         for r in self.active.values())
@@ -654,13 +736,14 @@ class DecodeEngine:
         # single-device path: n steps per host sync, sampling on device
         samp = SamplingArrays.build(
             {s: r.params for s, r in self.active.items()}, self.max_batch)
+        seen = self._seen_mask() if self._needs_seen_mask() else None
         self.key, sub = jax.random.split(self.key)
-        toks_seq, act_seq, self.cache, *_ = decode_chunk(
+        toks_seq, act_seq, self.cache, _, _, _, lp_seq, _ = decode_chunk(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(active_mask), sub, samp, self.config,
             n_steps=self.steps_per_sync, all_greedy=all_greedy,
-            attn_span=self._attn_span())
-        emitted, _ = self._collect_chunk(toks_seq, act_seq)
+            attn_span=self._attn_span(), seen_mask=seen)
+        emitted, _ = self._collect_chunk(toks_seq, act_seq, lp_seq)
         self.metrics.record(emitted, _time.perf_counter() - t0)
         return bool(self.waiting or self.active)
 
@@ -763,6 +846,7 @@ class DecodeEngine:
                     "generated": list(r.generated), "slot": r.slot,
                     "done": r.done, "cancelled": r.cancelled,
                     "prefilling": r.prefilling, "prefill_pos": r.prefill_pos,
+                    "logprobs": list(r.logprobs),
                     "pending_first": None if r.pending_first is None
                     else int(r.pending_first)}
 
@@ -785,13 +869,17 @@ class DecodeEngine:
         from ..utils.checkpoint import load_checkpoint
 
         def dec_req(d: dict) -> Request:
+            sd = dict(d["sampling"])
+            # tuples round-trip as lists; SamplingParams must stay hashable
+            sd["stop"] = tuple(tuple(st) for st in sd.get("stop", ()))
             return Request(uid=int(d["uid"]), prompt=list(d["prompt"]),
-                           params=SamplingParams(**d["sampling"]),
+                           params=SamplingParams(**sd),
                            generated=list(d["generated"]), slot=d["slot"],
                            done=bool(d["done"]),
                            cancelled=bool(d.get("cancelled", False)),
                            prefilling=bool(d.get("prefilling", False)),
                            prefill_pos=int(d.get("prefill_pos", 0)),
+                           logprobs=list(d.get("logprobs", [])),
                            pending_first=d["pending_first"])
 
         st = load_checkpoint(path)
@@ -868,6 +956,7 @@ class DecodeEngine:
                              for s in self.active)
             carry = (jnp.asarray(tokens), jnp.asarray(active_mask))
             chain_key = None        # single-device path chains the key
+            seen = self._seen_mask() if self._needs_seen_mask() else None
             inflight: deque = deque()
             dispatched = 0          # steps in flight, uncollected
             t0 = _time.perf_counter()
@@ -880,16 +969,18 @@ class DecodeEngine:
                     toks_seq, act_seq, self.cache, *carry = self._tp_decode(
                         self.params, self.cache, *carry, sub, samp,
                         all_greedy=all_greedy, attn_span=span)
+                    inflight.append((toks_seq, act_seq))
                 else:
                     if chain_key is None:
                         self.key, chain_key = jax.random.split(self.key)
-                    toks_seq, act_seq, self.cache, tok_d, act_d, chain_key = \
-                        decode_chunk(
+                    (toks_seq, act_seq, self.cache, tok_d, act_d, chain_key,
+                     lp_seq, seen) = decode_chunk(
                             self.params, self.cache, *carry, chain_key, samp,
                             self.config, n_steps=self.steps_per_sync,
-                            all_greedy=all_greedy, attn_span=span)
+                            all_greedy=all_greedy, attn_span=span,
+                            seen_mask=seen)
                     carry = [tok_d, act_d]
-                inflight.append((toks_seq, act_seq))
+                    inflight.append((toks_seq, act_seq, lp_seq))
                 dispatched += self.steps_per_sync
                 if len(inflight) < depth:
                     continue

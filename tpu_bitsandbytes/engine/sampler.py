@@ -20,6 +20,17 @@ class SamplingParams:
     top_p: float = 1.0            # 1 -> disabled
     max_new_tokens: int = 128
     eos_token_id: Optional[int] = None
+    # HF-style repetition penalty over prompt+generated history: positive
+    # seen-token logits divided by the penalty, negative multiplied. 1.0
+    # disables. Applies to greedy decoding too (it reshapes the argmax).
+    repetition_penalty: float = 1.0
+    # stop sequences as tuples of token ids; generation stops (host-side,
+    # at chunk-collection granularity) once the output ends with any of
+    # them. The stop tokens remain in the output.
+    stop: tuple = ()
+    # collect per-token model logprobs (log-softmax of the raw logits at
+    # the emitted token) into Request.logprobs
+    logprobs: bool = False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -36,9 +47,12 @@ class SamplingArrays:
     top_k: jnp.ndarray         # i32 [B]; 0 -> disabled
     top_p: jnp.ndarray         # f32 [B]; 1 -> disabled
     eos_id: jnp.ndarray        # i32 [B]; -1 -> none
+    # f32 [B]; applied only when the caller supplies a seen-token mask
+    rep_pen: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
-        return ((self.temperature, self.top_k, self.top_p, self.eos_id), None)
+        return ((self.temperature, self.top_k, self.top_p, self.eos_id,
+                 self.rep_pen), None)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -52,20 +66,33 @@ class SamplingArrays:
         k = np.zeros((max_batch,), np.int32)
         p = np.ones((max_batch,), np.float32)
         e = np.full((max_batch,), -1, np.int32)
+        r = np.ones((max_batch,), np.float32)
         for slot, sp in per_slot.items():
             t[slot] = sp.temperature
             k[slot] = sp.top_k
             p[slot] = sp.top_p
             e[slot] = -1 if sp.eos_token_id is None else sp.eos_token_id
+            r[slot] = sp.repetition_penalty
         return cls(jnp.asarray(t), jnp.asarray(k), jnp.asarray(p),
-                   jnp.asarray(e))
+                   jnp.asarray(e), jnp.asarray(r))
+
+
+def apply_repetition_penalty(logits, seen_mask, rep_pen):
+    """HF semantics: seen positive logits / pen, seen negative * pen.
+    logits [B, V] f32, seen_mask [B, V] bool, rep_pen [B] f32."""
+    pen = rep_pen[:, None]
+    adj = jnp.where(logits > 0, logits / pen, logits * pen)
+    return jnp.where(seen_mask, adj, logits)
 
 
 def sample_batched(logits: jnp.ndarray, key: jax.Array,
-                   s: SamplingArrays) -> jnp.ndarray:
+                   s: SamplingArrays, seen_mask=None) -> jnp.ndarray:
     """logits [B, V] -> tokens [B], per-row params. Traced (no jit wrapper):
-    called from inside the engine's jitted decode chunk."""
+    called from inside the engine's jitted decode chunk. ``seen_mask``
+    [B, V] enables the repetition penalty (affects greedy rows too)."""
     logits = logits.astype(jnp.float32)
+    if seen_mask is not None and s.rep_pen is not None:
+        logits = apply_repetition_penalty(logits, seen_mask, s.rep_pen)
     v = logits.shape[-1]
     greedy_toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(s.temperature, 1e-6)[:, None]
@@ -87,11 +114,17 @@ def sample_batched(logits: jnp.ndarray, key: jax.Array,
 
 @partial(jax.jit, static_argnames=("params",))
 def sample(logits: jnp.ndarray, key: jax.Array,
-           params: SamplingParams) -> jnp.ndarray:
-    """logits [B, V] -> token ids [B]."""
+           params: SamplingParams, seen_mask=None) -> jnp.ndarray:
+    """logits [B, V] -> token ids [B]. ``seen_mask`` [B, V] applies the
+    repetition penalty (history tokens) before everything else."""
+    logits = logits.astype(jnp.float32)
+    if seen_mask is not None and params.repetition_penalty != 1.0:
+        pen = jnp.full((logits.shape[0],), params.repetition_penalty,
+                       jnp.float32)
+        logits = apply_repetition_penalty(logits, seen_mask, pen)
     if params.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits.astype(jnp.float32) / params.temperature
+    logits = logits / params.temperature
     if params.top_k > 0:
         top = jax.lax.top_k(logits, params.top_k)[0][:, -1:]
         logits = jnp.where(logits < top, -jnp.inf, logits)

@@ -240,7 +240,7 @@ def make_tp_decode_chunk(mesh: Mesh, params, config: llama.LlamaConfig,
     from ..engine.sampler import SamplingArrays
     pspecs = llama_param_specs(params)
     cspec = kv_cache_spec(cache)
-    samp_spec = SamplingArrays(P("dp"), P("dp"), P("dp"), P("dp"))
+    samp_spec = SamplingArrays(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"))
 
     @partial(jax.jit, static_argnames=("all_greedy", "attn_span"),
              donate_argnums=(1,))
