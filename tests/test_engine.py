@@ -874,8 +874,8 @@ class TestServingSamplerFeatures:
         while e.step():
             pass
         req = e.finished[0]
-        assert len(req.logprobs) == len(req.generated) - 1 or \
-            len(req.logprobs) == len(req.generated)
+        # every generated token carries a logprob, incl. the first (prefill)
+        assert len(req.logprobs) == len(req.generated)
         # teacher-forced re-score: logits at position t predict token t+1
         toks = jnp.asarray([prompt + req.generated])
         logits = L.forward(params, toks, cfg)

@@ -243,6 +243,12 @@ def prefill_final_logits(params, x: jnp.ndarray, idx: jnp.ndarray,
     return llama.head_logits(params, xl, config)[0]
 
 
+@jax.jit
+def _token_logprob(logits: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
+    """Model log-softmax of ``tok`` under raw logits [V] (device scalar)."""
+    return jax.nn.log_softmax(logits.astype(jnp.float32))[tok]
+
+
 @partial(jax.jit, static_argnames=("config",), donate_argnums=(1,))
 def prefill_step_spmd(params, cache: KVCache, tokens: jnp.ndarray,
                       slot: jnp.ndarray, true_len: jnp.ndarray,
@@ -283,6 +289,8 @@ class Request:
     prefill_pos: int = 0
     # per-token model logprobs (filled when params.logprobs)
     logprobs: List[float] = dataclasses.field(default_factory=list)
+    # first token's logprob from prefill (device scalar until consumed)
+    pending_first_lp: Optional[Any] = None
 
 
 def _bucket(n: int, max_seq: int) -> int:
@@ -447,9 +455,14 @@ class DecodeEngine:
                 self._admit_one(slot, req)
             return
         # single-device: group same-bucket admissions into ONE forward —
-        # R requests stream the quantized weights once instead of R times
+        # R requests stream the quantized weights once instead of R times.
+        # logprobs requests admit singly (prefill_batch returns sampled
+        # tokens only, not their logprobs).
         groups: Dict[int, list] = {}
         for slot, req in taken:
+            if req.params.logprobs:
+                self._admit_one(slot, req)
+                continue
             groups.setdefault(_bucket(len(req.prompt), self.max_seq),
                               []).append((slot, req))
         for s_pad, grp in sorted(groups.items()):
@@ -550,14 +563,18 @@ class DecodeEngine:
 
     def _sample_first(self, logits, req: Request):
         """Sample a request's first token from prefill logits [V], applying
-        its repetition penalty over the prompt history."""
+        its repetition penalty over the prompt history. Stores the token's
+        model logprob lazily when the request asks for logprobs."""
         self.key, sub = jax.random.split(self.key)
         if req.params.repetition_penalty != 1.0:
             m = np.zeros((1, self.config.vocab_size), bool)
             m[0, req.prompt] = True
-            return sample(logits[None, :], sub, req.params,
-                          jnp.asarray(m))[0]
-        return sample(logits[None, :], sub, req.params)[0]
+            tok = sample(logits[None, :], sub, req.params, jnp.asarray(m))[0]
+        else:
+            tok = sample(logits[None, :], sub, req.params)[0]
+        if req.params.logprobs:
+            req.pending_first_lp = _token_logprob(logits, tok)
+        return tok
 
     def _advance_prefill(self) -> bool:
         """Advance chunked prefills by ONE chunk (oldest request first).
@@ -619,9 +636,12 @@ class DecodeEngine:
                 continue
             if req.pending_first is not None:
                 first = int(req.pending_first)
-                self._collect(slot, req, first)
+                lp = (None if req.pending_first_lp is None
+                      else float(req.pending_first_lp))
+                self._collect(slot, req, first, lp)
                 last = first
                 req.pending_first = None
+                req.pending_first_lp = None
                 if req.done:
                     continue
             else:
@@ -848,7 +868,9 @@ class DecodeEngine:
                     "prefilling": r.prefilling, "prefill_pos": r.prefill_pos,
                     "logprobs": list(r.logprobs),
                     "pending_first": None if r.pending_first is None
-                    else int(r.pending_first)}
+                    else int(r.pending_first),
+                    "pending_first_lp": None if r.pending_first_lp is None
+                    else float(r.pending_first_lp)}
 
         save_checkpoint(path, {
             "cache": {"k": self.cache.k, "v": self.cache.v,
@@ -880,7 +902,8 @@ class DecodeEngine:
                            prefilling=bool(d.get("prefilling", False)),
                            prefill_pos=int(d.get("prefill_pos", 0)),
                            logprobs=list(d.get("logprobs", [])),
-                           pending_first=d["pending_first"])
+                           pending_first=d["pending_first"],
+                           pending_first_lp=d.get("pending_first_lp"))
 
         st = load_checkpoint(path)
         c = st["cache"]
