@@ -85,9 +85,10 @@ class TestVerifyStep:
             toks = jnp.asarray(prompts[:, i + 1], jnp.int32)
         verify_toks = np.concatenate(
             [np.asarray(toks)[:, None], oracle[:, :g]], axis=1)
+        from tpu_bitsandbytes.engine.sampler import SamplingArrays
         emitted, counts, cache = verify_step(
             params, cache, jnp.asarray(verify_toks.astype(np.int32)),
-            active, cfg)
+            active, jax.random.PRNGKey(0), SamplingArrays.build({}, b), cfg)
         assert np.all(np.asarray(counts) == g + 1)        # all drafts accepted
         np.testing.assert_array_equal(np.asarray(emitted), oracle)
 
@@ -107,9 +108,10 @@ class TestVerifyStep:
         wrong = (greedy_next[:, None] + 1 + np.zeros((b, g), np.int32)
                  ) % cfg.vocab_size
         verify_toks = np.concatenate([np.asarray(toks)[:, None], wrong], 1)
+        from tpu_bitsandbytes.engine.sampler import SamplingArrays
         emitted, counts, cache2 = verify_step(
             params, cache2, jnp.asarray(verify_toks.astype(np.int32)),
-            active, cfg)
+            active, jax.random.PRNGKey(0), SamplingArrays.build({}, b), cfg)
         assert np.all(np.asarray(counts) == 1)            # only the bonus
         np.testing.assert_array_equal(np.asarray(emitted)[:, 0], greedy_next)
         assert np.all(np.asarray(cache2.lengths) == 1)
@@ -121,7 +123,10 @@ class TestVerifyStep:
                                cfg.hd, quantized=False, dtype=jnp.float32)
         toks = jnp.zeros((b, g + 1), jnp.int32)
         active = jnp.asarray([True, False])
-        _, counts, cache = verify_step(params, cache, toks, active, cfg)
+        from tpu_bitsandbytes.engine.sampler import SamplingArrays
+        _, counts, cache = verify_step(params, cache, toks, active,
+                                       jax.random.PRNGKey(0),
+                                       SamplingArrays.build({}, b), cfg)
         assert int(np.asarray(counts)[1]) == 0
         assert int(np.asarray(cache.lengths)[1]) == 0
 
@@ -149,9 +154,11 @@ class TestSpeculativeEngine:
         assert spec_eng.spec_stats["verify_steps"] > 0
         assert "speculative" in spec_eng.stats
 
-    def test_stochastic_slots_fall_back(self, tiny_model, rng):
-        """A batch with any temperature>0 slot must take the regular path
-        (and still work)."""
+    def test_stochastic_slots_use_rejection_acceptance(self, tiny_model,
+                                                       rng):
+        """Sampled slots ride the verify step too (rejection acceptance
+        preserves the sampling distribution — unit-proved in
+        TestAcceptanceDistribution); outputs stay well-formed."""
         cfg, params = tiny_model
         eng = DecodeEngine(params, cfg, max_batch=2, max_seq=128,
                            quantized_kv=False, speculative="ngram")
@@ -159,6 +166,18 @@ class TestSpeculativeEngine:
             [list(rng.integers(0, cfg.vocab_size, 6)) for _ in range(2)],
             SamplingParams(max_new_tokens=4, temperature=0.9))
         assert all(len(o) == 4 for o in outs)
+        assert eng.spec_stats["verify_steps"] > 0
+
+    def test_penalty_requests_fall_back(self, tiny_model, rng):
+        """Repetition-penalty slots bypass speculation (no seen-mask in the
+        verify step) and still finish on the chunked path."""
+        cfg, params = tiny_model
+        eng = DecodeEngine(params, cfg, max_batch=1, max_seq=128,
+                           quantized_kv=False, speculative="ngram")
+        outs = eng.generate(
+            [list(rng.integers(0, cfg.vocab_size, 6))],
+            SamplingParams(max_new_tokens=4, repetition_penalty=1.3))
+        assert len(outs[0]) == 4
         assert eng.spec_stats["verify_steps"] == 0
 
     def test_eos_mid_acceptance_stops(self, tiny_model, rng):
@@ -177,3 +196,84 @@ class TestSpeculativeEngine:
                             quantized_kv=False, speculative="ngram",
                             spec_gamma=3).generate(prompts, sp)
         assert spec == ref_eos
+
+
+class TestAcceptanceDistribution:
+    """accept_and_emit implements speculative sampling with a point-mass
+    proposal: the FIRST emitted token's marginal over keys must equal the
+    model's processed sampling distribution exactly (the speculative
+    sampling theorem), regardless of which draft was proposed."""
+
+    def test_first_token_marginal_matches_target(self):
+        from tpu_bitsandbytes.engine.speculative import accept_and_emit
+        from tpu_bitsandbytes.engine.sampler import SamplingArrays
+        v, g = 8, 3
+        rng = np.random.default_rng(3)
+        # one sampled slot, temperature 1: target = softmax(logits[0, 0])
+        logits = jnp.asarray(rng.standard_normal((1, g + 1, v)), jnp.float32)
+        target = np.asarray(jax.nn.softmax(logits[0, 0]))
+        samp = SamplingArrays(jnp.asarray([1.0]), jnp.asarray([0]),
+                              jnp.asarray([1.0]), jnp.asarray([-1]),
+                              jnp.asarray([1.0]))
+        draft = int(np.argmax(target))    # propose the most likely token
+        tokens = jnp.asarray([[0] + [draft] * g], jnp.int32)
+
+        @jax.jit
+        def first_tok(key):
+            emitted, _ = accept_and_emit(logits, tokens, key, samp)
+            return emitted[0, 0]
+
+        n = 20000
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        toks = np.asarray(jax.vmap(first_tok)(keys))
+        emp = np.bincount(toks, minlength=v) / n
+        # 20k draws: max deviation ~4 sigma of a binomial at p=0.25 ≈ 0.012
+        np.testing.assert_allclose(emp, target, atol=0.015)
+
+    def test_unlikely_draft_marginal_still_matches(self):
+        """Low-probability draft -> mostly rejections; the residual sampling
+        must still reproduce the target marginal."""
+        from tpu_bitsandbytes.engine.speculative import accept_and_emit
+        from tpu_bitsandbytes.engine.sampler import SamplingArrays
+        v, g = 8, 2
+        rng = np.random.default_rng(4)
+        logits = jnp.asarray(rng.standard_normal((1, g + 1, v)) * 2,
+                             jnp.float32)
+        target = np.asarray(jax.nn.softmax(logits[0, 0]))
+        samp = SamplingArrays(jnp.asarray([1.0]), jnp.asarray([0]),
+                              jnp.asarray([1.0]), jnp.asarray([-1]),
+                              jnp.asarray([1.0]))
+        draft = int(np.argmin(target))
+        tokens = jnp.asarray([[0] + [draft] * g], jnp.int32)
+
+        @jax.jit
+        def first_tok(key):
+            emitted, _ = accept_and_emit(logits, tokens, key, samp)
+            return emitted[0, 0]
+
+        n = 20000
+        keys = jax.random.split(jax.random.PRNGKey(1), n)
+        toks = np.asarray(jax.vmap(first_tok)(keys))
+        emp = np.bincount(toks, minlength=v) / n
+        np.testing.assert_allclose(emp, target, atol=0.015)
+
+    def test_greedy_rows_still_exact(self):
+        """Greedy slots in the same batch keep exact-match acceptance."""
+        from tpu_bitsandbytes.engine.speculative import accept_and_emit
+        from tpu_bitsandbytes.engine.sampler import SamplingArrays
+        v, g = 8, 3
+        rng = np.random.default_rng(5)
+        logits = jnp.asarray(rng.standard_normal((2, g + 1, v)), jnp.float32)
+        preds = np.asarray(jnp.argmax(logits, axis=-1))
+        # row 0 greedy with correct drafts; row 1 greedy with a wrong first
+        toks = np.zeros((2, g + 1), np.int32)
+        toks[0, 1:] = preds[0, :g]
+        toks[1, 1:] = (preds[1, :g] + 1) % v
+        samp = SamplingArrays(jnp.asarray([0.0, 0.0]), jnp.asarray([0, 0]),
+                              jnp.asarray([1.0, 1.0]), jnp.asarray([-1, -1]),
+                              jnp.asarray([1.0, 1.0]))
+        emitted, n_acc = accept_and_emit(logits, jnp.asarray(toks),
+                                         jax.random.PRNGKey(0), samp)
+        assert int(n_acc[0]) == g and int(n_acc[1]) == 0
+        np.testing.assert_array_equal(np.asarray(emitted)[0], preds[0])
+        assert int(np.asarray(emitted)[1, 0]) == preds[1, 0]

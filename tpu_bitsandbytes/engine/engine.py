@@ -728,12 +728,13 @@ class DecodeEngine:
             return bool(self.waiting or self.active)
 
         # speculative path: one verify step scores gamma drafts + 1 bonus
-        # token per slot in a single forward (greedy-exact; engine falls
-        # back to chunked decode when any slot samples stochastically or
-        # the batch is out of sequence headroom)
-        if (self.speculative == "ngram" and all_greedy
+        # token per slot in a single forward. Greedy slots accept by exact
+        # match (token-identical to plain greedy); sampled slots use
+        # distribution-preserving rejection acceptance. Falls back to the
+        # chunked path for penalty/logprobs or without sequence headroom.
+        if (self.speculative == "ngram"
                 and not self._needs_seen_mask()
-                and not any(r.params.logprobs or r.params.stop
+                and not any(r.params.logprobs
                             for r in self.active.values())
                 and not any(r.prefilling for r in self.active.values())
                 and max(len(r.prompt) + len(r.generated)
@@ -785,9 +786,12 @@ class DecodeEngine:
         longest = max(len(r.prompt) + len(r.generated)
                       for r in self.active.values())
         span = _span_bucket(longest + g + 1, self.max_seq)
+        samp = SamplingArrays.build(
+            {s: r.params for s, r in self.active.items()}, self.max_batch)
+        self.key, sub = jax.random.split(self.key)
         emitted, counts, self.cache = verify_step(
             self.params, self.cache, jnp.asarray(toks.astype(np.int32)),
-            jnp.asarray(active_mask), self.config, attn_span=span)
+            jnp.asarray(active_mask), sub, samp, self.config, attn_span=span)
         emitted = np.asarray(emitted)
         counts = np.asarray(counts)
         self.spec_stats["verify_steps"] += 1

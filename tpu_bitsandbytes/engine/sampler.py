@@ -85,6 +85,27 @@ def apply_repetition_penalty(logits, seen_mask, rep_pen):
     return jnp.where(seen_mask, adj, logits)
 
 
+def filter_logits(logits: jnp.ndarray, temperature, top_k,
+                  top_p) -> jnp.ndarray:
+    """Per-row temperature/top-k/top-p processing of logits [N, V] ->
+    processed logits (scaled; filtered entries -inf). temperature is
+    clamped at 1e-6 — greedy rows should bypass via argmax instead."""
+    v = logits.shape[-1]
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    # top-k (per-row k; 0 disables)
+    sorted_l = jnp.sort(scaled, axis=-1)[:, ::-1]
+    k = jnp.where(top_k > 0, top_k, v)[:, None]
+    kth = jnp.take_along_axis(sorted_l, jnp.clip(k - 1, 0, v - 1), axis=-1)
+    masked = jnp.where(scaled < kth, -jnp.inf, scaled)
+    # top-p over the top-k-masked distribution
+    sorted_m = jnp.sort(masked, axis=-1)[:, ::-1]
+    cum = jnp.cumsum(jax.nn.softmax(sorted_m, axis=-1), axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p[:, None], axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_m, jnp.clip(cutoff_idx, 0, v - 1),
+                                 axis=-1)
+    return jnp.where(masked < cutoff, -jnp.inf, masked)
+
+
 def sample_batched(logits: jnp.ndarray, key: jax.Array,
                    s: SamplingArrays, seen_mask=None) -> jnp.ndarray:
     """logits [B, V] -> tokens [B], per-row params. Traced (no jit wrapper):
@@ -93,21 +114,8 @@ def sample_batched(logits: jnp.ndarray, key: jax.Array,
     logits = logits.astype(jnp.float32)
     if seen_mask is not None and s.rep_pen is not None:
         logits = apply_repetition_penalty(logits, seen_mask, s.rep_pen)
-    v = logits.shape[-1]
     greedy_toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits / jnp.maximum(s.temperature, 1e-6)[:, None]
-    # top-k (per-row k; 0 disables)
-    sorted_l = jnp.sort(scaled, axis=-1)[:, ::-1]
-    k = jnp.where(s.top_k > 0, s.top_k, v)[:, None]
-    kth = jnp.take_along_axis(sorted_l, jnp.clip(k - 1, 0, v - 1), axis=-1)
-    masked = jnp.where(scaled < kth, -jnp.inf, scaled)
-    # top-p over the top-k-masked distribution
-    sorted_m = jnp.sort(masked, axis=-1)[:, ::-1]
-    cum = jnp.cumsum(jax.nn.softmax(sorted_m, axis=-1), axis=-1)
-    cutoff_idx = jnp.sum(cum < s.top_p[:, None], axis=-1, keepdims=True)
-    cutoff = jnp.take_along_axis(sorted_m, jnp.clip(cutoff_idx, 0, v - 1),
-                                 axis=-1)
-    masked = jnp.where(masked < cutoff, -jnp.inf, masked)
+    masked = filter_logits(logits, s.temperature, s.top_k, s.top_p)
     sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
     return jnp.where(s.temperature <= 0.0, greedy_toks, sampled)
 
