@@ -513,3 +513,32 @@ class TestTPMixtral:
         logits_ref, _ = decode_step(qparams, cache_ref, tokens, active, cfg)
         np.testing.assert_allclose(np.asarray(logits_tp),
                                    np.asarray(logits_ref), atol=2e-3)
+
+
+class TestMeshServingFeatures:
+    def test_mesh_penalty_and_logprobs_match_single_device(self, tp_model,
+                                                           rng):
+        """Greedy + strong repetition penalty is deterministic, so the mesh
+        engine must reproduce the single-device engine token-for-token, and
+        logprobs must arrive for every generated token."""
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg, params = tp_model
+        qparams = llama.quantize_params(params, blocksize=32,
+                                        dtype=jnp.float32)
+        prompts = [list(rng.integers(0, cfg.vocab_size, n))
+                   for n in (6, 9, 5, 11)]
+        sp = SamplingParams(max_new_tokens=6, repetition_penalty=2.0,
+                            logprobs=True)
+        ref_eng = DecodeEngine(qparams, cfg, max_batch=4, max_seq=64,
+                               quantized_kv=False)
+        ref = ref_eng.generate(prompts, sp)
+        mesh = make_mesh(tp=4, dp=2)
+        eng = DecodeEngine(qparams, cfg, max_batch=4, max_seq=64,
+                           quantized_kv=False, mesh=mesh)
+        got = eng.generate(prompts, sp)
+        assert got == ref
+        by_uid = {r.uid: r for r in eng.finished}
+        for uid, out in zip(range(1, 5), got):
+            assert len(by_uid[uid].logprobs) == len(out)
+        # penalty actually engaged: no repeats under a strong penalty
+        assert all(len(set(o)) == len(o) for o in got)

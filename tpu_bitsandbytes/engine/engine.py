@@ -397,12 +397,6 @@ class DecodeEngine:
         """Queue a prompt. ``on_token(uid, token, done)`` streams emissions
         to the caller as chunks are collected (see :meth:`generate_stream`)."""
         sp = sampling or SamplingParams()
-        if self.mesh is not None and (sp.repetition_penalty != 1.0
-                                      or sp.logprobs):
-            raise NotImplementedError(
-                "repetition_penalty/logprobs are single-device engine "
-                "features (the mesh decode chunk does not thread the "
-                "seen-token mask or logprob outputs yet)")
         self._uid += 1
         self.waiting.append(Request(self._uid, list(map(int, prompt_tokens)),
                                     sp, on_token=on_token))
@@ -543,6 +537,13 @@ class DecodeEngine:
         for i, (slot, req) in enumerate(grp):
             req.pending_first = firsts[i]       # device scalar, lazy sync
             self.active[slot] = req
+
+    def _mesh_seen_mask(self):
+        """Mesh chunks always thread a mask (one compiled program); an
+        all-False mask is a no-op penalty."""
+        if self._needs_seen_mask():
+            return self._seen_mask()
+        return jnp.zeros((self.max_batch, self.config.vocab_size), bool)
 
     def _needs_seen_mask(self) -> bool:
         return any(r.params.repetition_penalty != 1.0
@@ -719,11 +720,11 @@ class DecodeEngine:
             samp = SamplingArrays.build(
                 {s: r.params for s, r in self.active.items()}, self.max_batch)
             self.key, sub = jax.random.split(self.key)
-            toks_seq, act_seq, self.cache, *_ = self._tp_decode(
+            toks_seq, act_seq, self.cache, _, _, lp_seq, _ = self._tp_decode(
                 self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(active_mask), sub, samp,
+                jnp.asarray(active_mask), sub, samp, self._mesh_seen_mask(),
                 all_greedy=all_greedy, attn_span=self._attn_span())
-            emitted, _ = self._collect_chunk(toks_seq, act_seq)
+            emitted, _ = self._collect_chunk(toks_seq, act_seq, lp_seq)
             self.metrics.record(emitted, _time.perf_counter() - t0)
             return bool(self.waiting or self.active)
 
@@ -843,8 +844,10 @@ class DecodeEngine:
             if self._tp_decode is not None:
                 toks_seq, _, scratch, *_ = self._tp_decode(
                     self.params, scratch, zero_toks, all_active,
-                    jax.random.PRNGKey(0), samp, all_greedy=True,
-                    attn_span=span)
+                    jax.random.PRNGKey(0), samp,
+                    jnp.zeros((self.max_batch, self.config.vocab_size),
+                              bool),
+                    all_greedy=True, attn_span=span)
             else:
                 toks_seq, _, scratch, *_ = decode_chunk(
                     self.params, scratch, zero_toks, all_active,
@@ -983,7 +986,9 @@ class DecodeEngine:
                              for s in self.active)
             carry = (jnp.asarray(tokens), jnp.asarray(active_mask))
             chain_key = None        # single-device path chains the key
-            seen = self._seen_mask() if self._needs_seen_mask() else None
+            seen = (self._mesh_seen_mask() if self._tp_decode is not None
+                    else (self._seen_mask() if self._needs_seen_mask()
+                          else None))
             inflight: deque = deque()
             dispatched = 0          # steps in flight, uncollected
             t0 = _time.perf_counter()
@@ -993,10 +998,12 @@ class DecodeEngine:
                     # mesh chunk: fresh host-split key per dispatch (the
                     # dp-folded key never leaves the shard_map)
                     self.key, sub = jax.random.split(self.key)
-                    toks_seq, act_seq, self.cache, *carry = self._tp_decode(
-                        self.params, self.cache, *carry, sub, samp,
+                    (toks_seq, act_seq, self.cache, tok_d, act_d, lp_seq,
+                     seen) = self._tp_decode(
+                        self.params, self.cache, *carry, sub, samp, seen,
                         all_greedy=all_greedy, attn_span=span)
-                    inflight.append((toks_seq, act_seq))
+                    carry = [tok_d, act_d]
+                    inflight.append((toks_seq, act_seq, lp_seq))
                 else:
                     if chain_key is None:
                         self.key, chain_key = jax.random.split(self.key)

@@ -107,37 +107,49 @@ def _tp_decode_impl(params, cache: KVCache, tokens, active,
 
 
 def _tp_decode_chunk_impl(params, cache: KVCache, tokens, active, key, samp,
-                          config: llama.LlamaConfig, n_steps: int = 8,
+                          seen_mask, config: llama.LlamaConfig,
+                          n_steps: int = 8,
                           all_greedy: bool = False, attn_span=None,
                           tp_axis: str = "tp", dp_axis: str = "dp"):
     """n_steps TP decode steps + on-device sampling in one shard_map body —
     the mesh counterpart of engine.decode_chunk (one dispatch per chunk
     instead of one per token, with the same EOS/dead-slot semantics).
-    tokens/active/samp are dp-local; ``key`` is replicated and folded with
-    the dp index so each dp group draws an independent stream (greedy
-    output is key-independent, keeping mesh == single-device tokens)."""
+    tokens/active/samp/seen_mask are dp-local; ``key`` is replicated and
+    folded with the dp index so each dp group draws an independent stream
+    (greedy output is key-independent, keeping mesh == single-device
+    tokens). ``seen_mask`` [B_local, V] drives the repetition penalty (an
+    all-False mask is a no-op — the mesh chunk always threads it so one
+    compiled program serves both); per-token model logprobs are emitted
+    like engine.decode_chunk's."""
     max_seq = cache.max_seq
+    b = tokens.shape[0]
     key = jax.random.fold_in(key, jax.lax.axis_index(dp_axis))
 
     def body(carry, _):
-        cache, tokens, active, key = carry
+        cache, tokens, active, key, seen = carry
         logits, cache = _tp_decode_impl(params, cache, tokens, active,
                                         config, tp_axis, attn_span)
+        lp_full = jax.nn.log_softmax(logits, axis=-1)
         key, sub = jax.random.split(key)
+        from ..engine.sampler import apply_repetition_penalty, sample_batched
+        pen_logits = apply_repetition_penalty(logits, seen, samp.rep_pen)
         if all_greedy:
-            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            toks = jnp.argmax(pen_logits, axis=-1).astype(jnp.int32)
         else:
-            from ..engine.sampler import sample_batched
-            toks = sample_batched(logits, sub, samp)
+            toks = sample_batched(pen_logits, sub, samp)
         toks = jnp.where(active, toks, tokens)
+        lp = jnp.take_along_axis(lp_full, toks[:, None], axis=-1)[:, 0]
+        rows = jnp.arange(b)
+        seen = seen.at[rows, toks].set(seen[rows, toks] | active)
         emitted_by = active
         hit_eos = active & (toks == samp.eos_id)
         active = active & ~hit_eos & (cache.lengths < max_seq - 1)
-        return (cache, toks, active, key), (toks, emitted_by)
+        return (cache, toks, active, key, seen), (toks, emitted_by, lp)
 
-    (cache, tokens, active, key), (toks_seq, act_seq) = jax.lax.scan(
-        body, (cache, tokens, active, key), None, length=n_steps)
-    return toks_seq, act_seq, cache, tokens, active
+    (cache, tokens, active, key, seen_mask), (toks_seq, act_seq, lp_seq) = \
+        jax.lax.scan(body, (cache, tokens, active, key, seen_mask), None,
+                     length=n_steps)
+    return toks_seq, act_seq, cache, tokens, active, lp_seq, seen_mask
 
 
 def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
@@ -231,11 +243,12 @@ def make_tp_decode_chunk(mesh: Mesh, params, config: llama.LlamaConfig,
     """Build the jitted shard_map'ed decode *chunk* (n_steps tokens per
     dispatch, sampling on device) for sharded params/cache.
 
-    Returns ``fn(params, cache, tokens, active, key, samp, all_greedy=...,
-    attn_span=...)`` → (toks_seq [n, B], act_seq [n, B], cache,
-    last_tokens [B], active [B]). The RNG key is NOT returned (its evolved
-    value is dp-group-local inside the shard_map); callers split a fresh key
-    per dispatch like DecodeEngine.step does.
+    Returns ``fn(params, cache, tokens, active, key, samp, seen_mask,
+    all_greedy=..., attn_span=...)`` → (toks_seq [n, B], act_seq [n, B],
+    cache, last_tokens [B], active [B], lp_seq [n, B], seen_mask [B, V]).
+    The RNG key is NOT returned (its evolved value is dp-group-local inside
+    the shard_map); callers split a fresh key per dispatch like
+    DecodeEngine.step does.
     """
     from ..engine.sampler import SamplingArrays
     pspecs = llama_param_specs(params)
@@ -244,18 +257,19 @@ def make_tp_decode_chunk(mesh: Mesh, params, config: llama.LlamaConfig,
 
     @partial(jax.jit, static_argnames=("all_greedy", "attn_span"),
              donate_argnums=(1,))
-    def chunk(params, cache, tokens, active, key, samp,
+    def chunk(params, cache, tokens, active, key, samp, seen_mask,
               all_greedy=False, attn_span=None):
         fn = shard_map(
             partial(_tp_decode_chunk_impl, config=config, n_steps=n_steps,
                     all_greedy=all_greedy, attn_span=attn_span),
             mesh=mesh,
-            in_specs=(pspecs, cspec, P("dp"), P("dp"), P(), samp_spec),
+            in_specs=(pspecs, cspec, P("dp"), P("dp"), P(), samp_spec,
+                      P("dp", None)),
             out_specs=(P(None, "dp"), P(None, "dp"), cspec, P("dp"),
-                       P("dp")),
+                       P("dp"), P(None, "dp"), P("dp", None)),
             check_vma=False,
         )
-        return fn(params, cache, tokens, active, key, samp)
+        return fn(params, cache, tokens, active, key, samp, seen_mask)
 
     return chunk
 
