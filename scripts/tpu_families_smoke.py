@@ -107,6 +107,41 @@ def main():
     check("cancel retires active request",
           e2.finished and e2.finished[0].cancelled)
 
+    # repetition penalty + logprobs + stop on the compiled path
+    pr = long_prompts[1]
+    e3 = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                      quantized_kv=False)
+    out = e3.generate([pr], SamplingParams(
+        max_new_tokens=10, repetition_penalty=1e6, logprobs=True))[0]
+    req = e3.finished[0]
+    check("penalty forbids repeats (compiled)",
+          len(set(out)) == len(out) and not set(out) & set(pr))
+    check("logprobs for every token", len(req.logprobs) == len(out))
+    base = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                        quantized_kv=False).generate(
+        [pr], SamplingParams(max_new_tokens=10))[0]
+    stopped = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                           quantized_kv=False).generate(
+        [pr], SamplingParams(max_new_tokens=10,
+                             stop=(tuple(base[2:4]),)))[0]
+    check("stop sequence truncates", stopped == base[:4])
+
+    # speculative: greedy-exact + stochastic acceptance run compiled
+    rep = (list(map(int, rng.integers(0, cfg.vocab_size, 6))) * 4)[:20]
+    spec = DecodeEngine(params, cfg, max_batch=1, max_seq=128,
+                        quantized_kv=False, speculative="ngram")
+    plain = DecodeEngine(params, cfg, max_batch=1, max_seq=128,
+                         quantized_kv=False)
+    sp8 = SamplingParams(max_new_tokens=8)
+    check("speculative greedy == plain greedy",
+          spec.generate([rep], sp8) == plain.generate([rep], sp8))
+    spec2 = DecodeEngine(params, cfg, max_batch=1, max_seq=128,
+                         quantized_kv=False, speculative="ngram")
+    out2 = spec2.generate([rep], SamplingParams(max_new_tokens=8,
+                                                temperature=0.8))[0]
+    check("speculative sampled path runs",
+          len(out2) == 8 and spec2.spec_stats["verify_steps"] > 0)
+
     if FAILS:
         print(f"\n{len(FAILS)} FAILURES: {FAILS}")
         return 1
