@@ -557,3 +557,25 @@ class TestPhi3VsHF:
         got = eng.generate([prompt],
                            SamplingParams(max_new_tokens=8))[0]
         assert got == expect
+
+
+class TestMixtralFusedExperts:
+    def test_fused_expert_gateup_matches_unfused(self, rng):
+        """quantize_params(fuse_projections=True) fuses each expert's
+        gate/up; outputs must match the unfused quantized model exactly
+        (same codes, re-ordered rows)."""
+        from tpu_bitsandbytes.models import llama as L
+        import jax
+        cfg = L.LlamaConfig.tiny_mixtral()
+        import dataclasses
+        cfg = dataclasses.replace(cfg, dtype=jnp.float32)
+        params = L.init_params(jax.random.PRNGKey(13), cfg,
+                               dtype=jnp.float32)
+        q_unf = L.quantize_params(params, dtype=jnp.float32)
+        q_fus = L.quantize_params(params, dtype=jnp.float32,
+                                  fuse_projections=True)
+        assert "gateup_proj" in q_fus["layers"][0]["moe"]["experts"][0]
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)))
+        a = np.asarray(L.forward(q_unf, toks, cfg), np.float32)
+        b = np.asarray(L.forward(q_fus, toks, cfg), np.float32)
+        np.testing.assert_allclose(a, b, atol=1e-4)

@@ -261,8 +261,12 @@ def _moe_mlp(moe, x, config: LlamaConfig,
     act = _act(config)
     partial = None
     for e, exp in enumerate(moe["experts"]):
-        gate = linear_apply(wrap(exp["gate_proj"]), x)
-        up = linear_apply(wrap(exp["up_proj"]), x)
+        if "gateup_proj" in exp:        # fused layout (quantize_params)
+            gate, up = jnp.split(linear_apply(wrap(exp["gateup_proj"]), x),
+                                 2, axis=-1)
+        else:
+            gate = linear_apply(wrap(exp["gate_proj"]), x)
+            up = linear_apply(wrap(exp["up_proj"]), x)
         d = linear_apply(wrap(exp["down_proj"], row=True), act(gate) * up)
         d = d * w[..., e:e + 1].astype(d.dtype)
         partial = d if partial is None else partial + d
@@ -444,11 +448,18 @@ def quantize_params(params: Params, blocksize: int = 64,
     for layer in params["layers"]:
         ql = dict(layer)
         if "moe" in layer:
+            if fuse_projections:
+                experts = [{"gateup_proj": q_fused([exp["gate_proj"],
+                                                    exp["up_proj"]]),
+                            "down_proj": q(exp["down_proj"])}
+                           for exp in layer["moe"]["experts"]]
+            else:
+                experts = [{n: q(exp[n]) for n in
+                            ("gate_proj", "up_proj", "down_proj")}
+                           for exp in layer["moe"]["experts"]]
             ql["moe"] = {
                 "router": layer["moe"]["router"],   # tiny; stays fp
-                "experts": [{n: q(exp[n]) for n in
-                             ("gate_proj", "up_proj", "down_proj")}
-                            for exp in layer["moe"]["experts"]],
+                "experts": experts,
             }
         if fuse_projections:
             for name in _LINEAR_NAMES:

@@ -84,10 +84,8 @@ def llama_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
                 ls[name] = {
                     "router": P(),
                     "experts": [
-                        {"gate_proj": _linear_spec(e["gate_proj"], col=True),
-                         "up_proj": _linear_spec(e["up_proj"], col=True),
-                         "down_proj": _linear_spec(e["down_proj"],
-                                                   col=False)}
+                        {k: _linear_spec(v, col=(k != "down_proj"))
+                         for k, v in e.items()}
                         for e in w["experts"]],
                 }
             elif name in _COL:
