@@ -906,3 +906,17 @@ class TestServingSamplerFeatures:
         got = e.generate([prompt], SamplingParams(max_new_tokens=12,
                                                   stop=stop))[0]
         assert got == base[:5]              # stopped right after the match
+
+
+class TestWarmupFidelity:
+    def test_warmup_covers_new_paths(self, tiny_model):
+        """warmup with group_sizes/features + chunked prefill compiles and
+        runs the batched-admission, chunk-prefill, and feature variants."""
+        cfg, params = tiny_model
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                         quantized_kv=False, prefill_chunk=16)
+        e.warmup([5, 40], group_sizes=(2,),
+                 features=("penalty", "sampled", "logprobs"))
+        # engine still serves correctly afterwards
+        out = e.generate([[1, 2, 3]], SamplingParams(max_new_tokens=3))
+        assert len(out[0]) == 3

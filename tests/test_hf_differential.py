@@ -376,7 +376,11 @@ class TestGemma2VsHF:
         assert cfg.final_logit_softcap == 10.0
         assert cfg.query_pre_attn_scalar == 16.0
         assert cfg.sliding_window == 8
-        assert cfg.sliding_window_pattern == 2
+        # even layers sliding, odd global — via HF layer_types or the
+        # pattern fallback; assert the effective per-layer windows
+        from tpu_bitsandbytes.models.llama import _layer_window
+        assert [_layer_window(cfg, li) for li in range(4)] == [8, None,
+                                                               8, None]
         assert cfg.rms_weight_offset == 1.0 and cfg.scale_embeddings
 
     def test_fp32_logits_match(self, hf_model, rng):
@@ -579,3 +583,26 @@ class TestMixtralFusedExperts:
         a = np.asarray(L.forward(q_unf, toks, cfg), np.float32)
         b = np.asarray(L.forward(q_fus, toks, cfg), np.float32)
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+class TestQwen2SlidingWindowVsHF:
+    """Qwen2 with use_sliding_window=True windows only layers >=
+    max_window_layers (HF layer_types); the conversion must map the
+    per-layer split, and logits must match HF past the window."""
+
+    def test_partial_window_layers_match(self, rng):
+        torch.manual_seed(11)
+        config = transformers.Qwen2Config(
+            vocab_size=128, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rms_norm_eps=1e-6, rope_theta=10000.0,
+            use_sliding_window=True, sliding_window=8, max_window_layers=2,
+            tie_word_embeddings=True, attn_implementation="eager")
+        model = transformers.Qwen2ForCausalLM(config).float().eval()
+        cfg = llama_config_from_hf(config)
+        assert cfg.sliding_window == 8
+        assert cfg.sliding_window_layers == (False, False, True, True)
+        tokens = rng.integers(0, config.vocab_size, (1, 24))
+        ours, _ = _logits_ours(model.state_dict(), config, tokens)
+        _agree(ours, _logits_hf(model, tokens), atol=2e-4)

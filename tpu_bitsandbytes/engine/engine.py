@@ -66,14 +66,16 @@ def decode_step(params, cache: KVCache, tokens: jnp.ndarray, active: jnp.ndarray
 
 
 @partial(jax.jit,
-         static_argnames=("config", "n_steps", "all_greedy", "attn_span"),
+         static_argnames=("config", "n_steps", "all_greedy", "attn_span",
+                          "want_logprobs"),
          donate_argnums=(1,))
 def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
                  active: jnp.ndarray, key: jax.Array, samp,
                  config: llama.LlamaConfig, n_steps: int = 8,
                  all_greedy: bool = False,
                  attn_span: Optional[int] = None,
-                 seen_mask: Optional[jnp.ndarray] = None):
+                 seen_mask: Optional[jnp.ndarray] = None,
+                 want_logprobs: bool = False):
     """Advance every slot up to ``n_steps`` tokens in ONE jit call.
 
     Sampling (per-slot :class:`SamplingArrays`) and EOS handling run on
@@ -100,7 +102,6 @@ def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
         cache, tokens, active, key, seen = carry
         logits, cache = _decode_step_impl(params, cache, tokens, active,
                                           config, attn_span)
-        lp_full = jax.nn.log_softmax(logits, axis=-1)
         key, sub = jax.random.split(key)
         if seen is not None:
             from .sampler import apply_repetition_penalty
@@ -112,7 +113,11 @@ def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
         else:
             toks = sample_batched(pen_logits, sub, samp)
         toks = jnp.where(active, toks, tokens)
-        lp = jnp.take_along_axis(lp_full, toks[:, None], axis=-1)[:, 0]
+        if want_logprobs:   # static: no [B, V] log_softmax when unused
+            lp_full = jax.nn.log_softmax(logits, axis=-1)
+            lp = jnp.take_along_axis(lp_full, toks[:, None], axis=-1)[:, 0]
+        else:
+            lp = jnp.zeros((b,), jnp.float32)
         if seen is not None:
             rows = jnp.arange(b)
             seen = seen.at[rows, toks].set(seen[rows, toks] | active)
@@ -352,6 +357,10 @@ class DecodeEngine:
         self.spec_gamma = int(spec_gamma)
         if prefill_chunk is not None and prefill_chunk < 16:
             raise ValueError("prefill_chunk must be >= 16")
+        if prefill_chunk is not None and mesh is not None:
+            raise ValueError(
+                "chunked prefill is single-device only (the shard_map "
+                "prefill path does not chunk); drop prefill_chunk= or mesh=")
         self.prefill_chunk = prefill_chunk
         self.spec_stats = {"verify_steps": 0, "drafted": 0, "accepted": 0}
         if runtime_cache:
@@ -451,10 +460,14 @@ class DecodeEngine:
         # single-device: group same-bucket admissions into ONE forward —
         # R requests stream the quantized weights once instead of R times.
         # logprobs requests admit singly (prefill_batch returns sampled
-        # tokens only, not their logprobs).
+        # tokens only, not their logprobs); prompts above the chunking
+        # threshold admit singly too, so a burst of long prompts still
+        # streams chunk-by-chunk instead of one giant grouped forward.
         groups: Dict[int, list] = {}
         for slot, req in taken:
-            if req.params.logprobs:
+            if req.params.logprobs or (
+                    self.prefill_chunk is not None
+                    and len(req.prompt) > self.prefill_chunk):
                 self._admit_one(slot, req)
                 continue
             groups.setdefault(_bucket(len(req.prompt), self.max_seq),
@@ -517,9 +530,10 @@ class DecodeEngine:
         for i in range(r, r_pad):       # pad rows duplicate row 0
             toks[i], slots[i], lens[i] = toks[0], slots[0], lens[0]
             t[i], k[i], p[i], e[i] = t[0], k[0], p[0], e[0]
-        r_pen = np.asarray([grp[min(i, r - 1)][1].params.repetition_penalty
-                            for i in range(r_pad)], np.float32)
-        r_pen[r:] = r_pen[0]
+        # pad rows duplicate row 0 (the scatter-collision contract)
+        r_pen = np.asarray(
+            [grp[i if i < r else 0][1].params.repetition_penalty
+             for i in range(r_pad)], np.float32)
         samp = SamplingArrays(jnp.asarray(t), jnp.asarray(k),
                               jnp.asarray(p), jnp.asarray(e),
                               jnp.asarray(r_pen))
@@ -719,12 +733,15 @@ class DecodeEngine:
             # mesh path: chunked shard_map decode, sampling on device
             samp = SamplingArrays.build(
                 {s: r.params for s, r in self.active.items()}, self.max_batch)
+            want_lp = any(r.params.logprobs for r in self.active.values())
             self.key, sub = jax.random.split(self.key)
             toks_seq, act_seq, self.cache, _, _, lp_seq, _ = self._tp_decode(
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(active_mask), sub, samp, self._mesh_seen_mask(),
-                all_greedy=all_greedy, attn_span=self._attn_span())
-            emitted, _ = self._collect_chunk(toks_seq, act_seq, lp_seq)
+                all_greedy=all_greedy, attn_span=self._attn_span(),
+                want_logprobs=want_lp)
+            emitted, _ = self._collect_chunk(toks_seq, act_seq,
+                                             lp_seq if want_lp else None)
             self.metrics.record(emitted, _time.perf_counter() - t0)
             return bool(self.waiting or self.active)
 
@@ -759,13 +776,16 @@ class DecodeEngine:
         samp = SamplingArrays.build(
             {s: r.params for s, r in self.active.items()}, self.max_batch)
         seen = self._seen_mask() if self._needs_seen_mask() else None
+        want_lp = any(r.params.logprobs for r in self.active.values())
         self.key, sub = jax.random.split(self.key)
         toks_seq, act_seq, self.cache, _, _, _, lp_seq, _ = decode_chunk(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(active_mask), sub, samp, self.config,
             n_steps=self.steps_per_sync, all_greedy=all_greedy,
-            attn_span=self._attn_span(), seen_mask=seen)
-        emitted, _ = self._collect_chunk(toks_seq, act_seq, lp_seq)
+            attn_span=self._attn_span(), seen_mask=seen,
+            want_logprobs=want_lp)
+        emitted, _ = self._collect_chunk(toks_seq, act_seq,
+                                         lp_seq if want_lp else None)
         self.metrics.record(emitted, _time.perf_counter() - t0)
         return bool(self.waiting or self.active)
 
@@ -799,13 +819,24 @@ class DecodeEngine:
         self.spec_stats["accepted"] += int(np.clip(counts - 1, 0, None).sum())
         return emitted, counts
 
-    def warmup(self, prompt_lengths: Optional[List[int]] = None) -> None:
+    def warmup(self, prompt_lengths: Optional[List[int]] = None,
+               group_sizes: "tuple" = (),
+               features: "tuple" = ()) -> None:
         """Pre-compile the decode step and prefill buckets (serving helper).
 
         Avoids first-request compile latency: compiles the batched decode
         step and the prefill computation for each bucket that the given
         prompt lengths (default: all power-of-two buckets up to max_seq)
         would hit.
+
+        ``group_sizes``: padded group sizes (powers of two) to precompile
+        the batched-admission ``prefill_batch`` at — a warmed engine that
+        will see request bursts should list them (e.g. (2, 4)).
+        ``features``: subset of {"penalty", "sampled", "logprobs"} — each
+        requested feature compiles its decode-chunk variant (seen-mask
+        array / all_greedy=False / want_logprobs=True are distinct static
+        signatures). Chunked-prefill engines also precompile the chunk
+        steps automatically.
         """
         import numpy as np
         buckets = sorted({_bucket(s, self.max_seq)
@@ -832,6 +863,24 @@ class DecodeEngine:
                 _, scratch = prefill_step(self.params, scratch, toks,
                                           jnp.int32(0), jnp.int32(min(b, 1)),
                                           self.config)
+            for r_pad in group_sizes:       # batched-admission variants
+                gs = SamplingArrays.build({}, r_pad)
+                gt = jnp.zeros((r_pad, b), jnp.int32)
+                _, scratch = prefill_batch(
+                    self.params, scratch, gt, jnp.zeros((r_pad,), jnp.int32),
+                    jnp.ones((r_pad,), jnp.int32), jax.random.PRNGKey(0),
+                    gs, self.config)
+        if self.prefill_chunk is not None:
+            # chunk steps at every span bucket a chunked admission reaches
+            c = self.prefill_chunk
+            chunk_spans = sorted({_span_bucket(st + c, self.max_seq)
+                                  for b in buckets for st in range(0, b, c)})
+            for span in chunk_spans:
+                x, scratch = prefill_chunk_step(
+                    self.params, scratch, jnp.zeros((1, c), jnp.int32),
+                    jnp.int32(0), jnp.int32(0), jnp.int32(1), self.config,
+                    attn_span=span)
+            prefill_final_logits(self.params, x, jnp.int32(0), self.config)
         # warm the decode *chunk* serving actually dispatches (greedy static
         # variant), at every attention-span bucket the given prompt lengths
         # reach — span is a static argname, so each bucket is its own compile
@@ -840,20 +889,29 @@ class DecodeEngine:
                         for b in buckets} | {128})
         zero_toks = jnp.zeros((self.max_batch,), jnp.int32)
         all_active = jnp.ones((self.max_batch,), bool)
+        mask = jnp.zeros((self.max_batch, self.config.vocab_size), bool)
+        variants = [dict(all_greedy=True)]
+        if "sampled" in features:
+            variants.append(dict(all_greedy=False))
+        if "logprobs" in features:
+            variants.append(dict(all_greedy=True, want_logprobs=True))
+        if "penalty" in features and self._tp_decode is None:
+            # the mesh chunk always threads the mask; single-device has a
+            # distinct masked signature
+            variants.append(dict(all_greedy=True, seen_mask=mask))
         for span in spans:
-            if self._tp_decode is not None:
-                toks_seq, _, scratch, *_ = self._tp_decode(
-                    self.params, scratch, zero_toks, all_active,
-                    jax.random.PRNGKey(0), samp,
-                    jnp.zeros((self.max_batch, self.config.vocab_size),
-                              bool),
-                    all_greedy=True, attn_span=span)
-            else:
-                toks_seq, _, scratch, *_ = decode_chunk(
-                    self.params, scratch, zero_toks, all_active,
-                    jax.random.PRNGKey(0), samp, self.config,
-                    n_steps=self.steps_per_sync, all_greedy=True,
-                    attn_span=span)
+            for var in variants:
+                if self._tp_decode is not None:
+                    toks_seq, _, scratch, *_ = self._tp_decode(
+                        self.params, scratch, zero_toks, all_active,
+                        jax.random.PRNGKey(0), samp, mask,
+                        attn_span=span, **var)
+                else:
+                    toks_seq, _, scratch, *_ = decode_chunk(
+                        self.params, scratch, zero_toks, all_active,
+                        jax.random.PRNGKey(0), samp, self.config,
+                        n_steps=self.steps_per_sync,
+                        attn_span=span, **var)
             jax.block_until_ready(toks_seq)
 
     # -- failure recovery: deterministic snapshot / restart ---------------
@@ -989,6 +1047,7 @@ class DecodeEngine:
             seen = (self._mesh_seen_mask() if self._tp_decode is not None
                     else (self._seen_mask() if self._needs_seen_mask()
                           else None))
+            want_lp = any(r.params.logprobs for r in self.active.values())
             inflight: deque = deque()
             dispatched = 0          # steps in flight, uncollected
             t0 = _time.perf_counter()
@@ -1001,9 +1060,11 @@ class DecodeEngine:
                     (toks_seq, act_seq, self.cache, tok_d, act_d, lp_seq,
                      seen) = self._tp_decode(
                         self.params, self.cache, *carry, sub, samp, seen,
-                        all_greedy=all_greedy, attn_span=span)
+                        all_greedy=all_greedy, attn_span=span,
+                        want_logprobs=want_lp)
                     carry = [tok_d, act_d]
-                    inflight.append((toks_seq, act_seq, lp_seq))
+                    inflight.append((toks_seq, act_seq,
+                                     lp_seq if want_lp else None))
                 else:
                     if chain_key is None:
                         self.key, chain_key = jax.random.split(self.key)
@@ -1012,9 +1073,10 @@ class DecodeEngine:
                             self.params, self.cache, *carry, chain_key, samp,
                             self.config, n_steps=self.steps_per_sync,
                             all_greedy=all_greedy, attn_span=span,
-                            seen_mask=seen)
+                            seen_mask=seen, want_logprobs=want_lp)
                     carry = [tok_d, act_d]
-                    inflight.append((toks_seq, act_seq, lp_seq))
+                    inflight.append((toks_seq, act_seq,
+                                     lp_seq if want_lp else None))
                 dispatched += self.steps_per_sync
                 if len(inflight) < depth:
                     continue

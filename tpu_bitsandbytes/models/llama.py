@@ -72,6 +72,11 @@ class LlamaConfig:
     final_logit_softcap: Optional[float] = None
     query_pre_attn_scalar: Optional[float] = None
     sliding_window_pattern: Optional[int] = None
+    # Explicit per-layer windowing (hashable bool tuple, len == num_layers):
+    # True = sliding, False = full. Takes precedence over the pattern —
+    # e.g. Qwen2's use_sliding_window windows only layers >=
+    # max_window_layers (HF layer_types maps directly onto this).
+    sliding_window_layers: Optional[Tuple[bool, ...]] = None
     # Mixtral-style sparse MoE MLP: num_experts > 0 replaces the dense
     # gate/up/down MLP with a router + per-expert SwiGLU experts;
     # experts_per_token = top-k routing (softmax over all experts, top-k
@@ -281,10 +286,15 @@ def _embed_tokens(params, tokens, config: LlamaConfig):
 
 
 def _layer_window(config: LlamaConfig, li: int):
-    """Per-layer attention window: Gemma2-style patterns make layers with
-    li % pattern == pattern-1 global, the rest sliding."""
+    """Per-layer attention window. Precedence: the explicit
+    ``sliding_window_layers`` bool tuple (HF layer_types), then the Gemma2
+    pattern (layers with li % pattern == pattern-1 global), then
+    all-layers-windowed."""
     if config.sliding_window is None:
         return None
+    if config.sliding_window_layers is not None:
+        return (config.sliding_window
+                if config.sliding_window_layers[li] else None)
     p = config.sliding_window_pattern
     if p is None:
         return config.sliding_window
@@ -297,19 +307,26 @@ def _attn_scale(config: LlamaConfig):
     return None                                  # default 1/sqrt(head_dim)
 
 
+def finish_logits(logits, config: LlamaConfig):
+    """fp32 cast + Gemma2 final-logit soft-capping — the one place the lm
+    logits epilogue lives (head_logits and both TP shard_map paths, which
+    must apply it AFTER the lm_head all_gather, share it)."""
+    logits = logits.astype(jnp.float32)
+    cap = config.final_logit_softcap
+    if cap is not None:
+        logits = cap * jnp.tanh(logits / cap)
+    return logits
+
+
 def head_logits(params, x, config: LlamaConfig):
-    """LM head (tied or separate) + Gemma2 final-logit soft-capping.
+    """LM head (tied or separate) + final-logit epilogue.
     x [..., H] -> fp32 logits [..., V]."""
     head = params.get("lm_head", None)
     if head is None:
         logits = x @ params["embed"].T.astype(x.dtype)
     else:
         logits = linear_apply(head, x)
-    logits = logits.astype(jnp.float32)
-    cap = config.final_logit_softcap
-    if cap is not None:
-        logits = cap * jnp.tanh(logits / cap)
-    return logits
+    return finish_logits(logits, config)
 
 
 def init_params(key: jax.Array, config: LlamaConfig,

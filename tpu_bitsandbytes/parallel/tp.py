@@ -97,10 +97,8 @@ def _tp_decode_impl(params, cache: KVCache, tokens, active,
     else:
         local = linear_apply(_localize(head), x[:, 0])   # [B, V/tp]
         logits = jax.lax.all_gather(local, tp_axis, axis=1, tiled=True)
-    logits = logits.astype(jnp.float32)
-    cap = config.final_logit_softcap
-    if cap is not None:          # Gemma2: cap AFTER assembling full logits
-        logits = cap * jnp.tanh(logits / cap)
+    # epilogue applied AFTER assembling the full logits (all_gather)
+    logits = llama.finish_logits(logits, config)
     cache = dataclasses.replace(
         cache, lengths=cache.lengths + active.astype(jnp.int32))
     return logits, cache
@@ -110,6 +108,7 @@ def _tp_decode_chunk_impl(params, cache: KVCache, tokens, active, key, samp,
                           seen_mask, config: llama.LlamaConfig,
                           n_steps: int = 8,
                           all_greedy: bool = False, attn_span=None,
+                          want_logprobs: bool = False,
                           tp_axis: str = "tp", dp_axis: str = "dp"):
     """n_steps TP decode steps + on-device sampling in one shard_map body —
     the mesh counterpart of engine.decode_chunk (one dispatch per chunk
@@ -129,7 +128,6 @@ def _tp_decode_chunk_impl(params, cache: KVCache, tokens, active, key, samp,
         cache, tokens, active, key, seen = carry
         logits, cache = _tp_decode_impl(params, cache, tokens, active,
                                         config, tp_axis, attn_span)
-        lp_full = jax.nn.log_softmax(logits, axis=-1)
         key, sub = jax.random.split(key)
         from ..engine.sampler import apply_repetition_penalty, sample_batched
         pen_logits = apply_repetition_penalty(logits, seen, samp.rep_pen)
@@ -138,7 +136,11 @@ def _tp_decode_chunk_impl(params, cache: KVCache, tokens, active, key, samp,
         else:
             toks = sample_batched(pen_logits, sub, samp)
         toks = jnp.where(active, toks, tokens)
-        lp = jnp.take_along_axis(lp_full, toks[:, None], axis=-1)[:, 0]
+        if want_logprobs:   # static: skip the [B, V] log_softmax when unused
+            lp_full = jax.nn.log_softmax(logits, axis=-1)
+            lp = jnp.take_along_axis(lp_full, toks[:, None], axis=-1)[:, 0]
+        else:
+            lp = jnp.zeros((b,), jnp.float32)
         rows = jnp.arange(b)
         seen = seen.at[rows, toks].set(seen[rows, toks] | active)
         emitted_by = active
@@ -210,10 +212,8 @@ def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
     else:
         local = linear_apply(_localize(head), x_last)   # [1, V/tp]
         logits = jax.lax.all_gather(local, tp_axis, axis=1, tiled=True)
-    logits = logits.astype(jnp.float32)
-    cap = config.final_logit_softcap
-    if cap is not None:          # Gemma2: cap AFTER assembling full logits
-        logits = cap * jnp.tanh(logits / cap)
+    # epilogue applied AFTER assembling the full logits (all_gather)
+    logits = llama.finish_logits(logits, config)
     return logits[0], cache
 
 
@@ -255,13 +255,15 @@ def make_tp_decode_chunk(mesh: Mesh, params, config: llama.LlamaConfig,
     cspec = kv_cache_spec(cache)
     samp_spec = SamplingArrays(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"))
 
-    @partial(jax.jit, static_argnames=("all_greedy", "attn_span"),
+    @partial(jax.jit, static_argnames=("all_greedy", "attn_span",
+                                       "want_logprobs"),
              donate_argnums=(1,))
     def chunk(params, cache, tokens, active, key, samp, seen_mask,
-              all_greedy=False, attn_span=None):
+              all_greedy=False, attn_span=None, want_logprobs=False):
         fn = shard_map(
             partial(_tp_decode_chunk_impl, config=config, n_steps=n_steps,
-                    all_greedy=all_greedy, attn_span=attn_span),
+                    all_greedy=all_greedy, attn_span=attn_span,
+                    want_logprobs=want_logprobs),
             mesh=mesh,
             in_specs=(pspecs, cspec, P("dp"), P("dp"), P(), samp_spec,
                       P("dp", None)),

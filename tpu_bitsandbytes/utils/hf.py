@@ -39,10 +39,20 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
         # carries q/k/v biases.
         attention_bias = get("model_type") in ("qwen2", "qwen2_moe")
     # Mistral-style sliding window. Qwen2 configs carry a sliding_window
-    # value but gate it behind use_sliding_window (default False).
+    # value but gate it behind use_sliding_window (default False); when
+    # enabled, only layers >= max_window_layers are windowed — transformers
+    # exposes this as per-layer ``layer_types``, which maps directly onto
+    # sliding_window_layers.
     sliding_window = get("sliding_window")
+    sliding_window_layers = None
     if sliding_window is not None and get("use_sliding_window") is False:
         sliding_window = None
+    layer_types = get("layer_types")
+    if sliding_window is not None and layer_types:
+        sliding_window_layers = tuple(
+            t == "sliding_attention" for t in layer_types)
+        if not any(sliding_window_layers):
+            sliding_window = sliding_window_layers = None
     # RoPE scaling (Llama-3.1 "llama3" band scaling, "linear" position
     # interpolation). transformers uses "rope_type" (legacy "type").
     rs = get("rope_scaling")
@@ -101,7 +111,9 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
                              if gemma2 else None),
         query_pre_attn_scalar=(float(get("query_pre_attn_scalar"))
                                if gemma2 else None),
-        sliding_window_pattern=2 if gemma2 else None,
+        sliding_window_pattern=(
+            2 if (gemma2 and sliding_window_layers is None) else None),
+        sliding_window_layers=sliding_window_layers,
         num_experts=num_experts,
         experts_per_token=get("num_experts_per_tok", 2) or 2,
     )
