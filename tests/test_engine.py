@@ -920,3 +920,58 @@ class TestWarmupFidelity:
         # engine still serves correctly afterwards
         out = e.generate([[1, 2, 3]], SamplingParams(max_new_tokens=3))
         assert len(out[0]) == 3
+
+
+class TestWindowedKVRead:
+    """Fully-windowed models (Mistral-class) bound the decode KV read from
+    below: [start, span) with start tracking (shortest position - window).
+    Must be token-identical to the full [0, span) read — the mask discards
+    the same prefix either way."""
+
+    def test_windowed_start_matches_full_read(self, rng, monkeypatch):
+        from tpu_bitsandbytes.models import llama as L
+        import dataclasses
+        cfg = dataclasses.replace(L.LlamaConfig.tiny_mistral(),
+                                  sliding_window=16, max_seq_len=256,
+                                  dtype=jnp.float32)
+        params = L.init_params(jax.random.PRNGKey(21), cfg,
+                               dtype=jnp.float32)
+        # prompt long enough that start = floor128(len - 16) >= 128
+        prompt = list(rng.integers(0, cfg.vocab_size, 150))
+        sp = SamplingParams(max_new_tokens=8)
+
+        eng = DecodeEngine(params, cfg, max_batch=1, max_seq=256,
+                           quantized_kv=False)
+        starts = []
+        orig = DecodeEngine._attn_window
+
+        def spy(self, extra_steps=0):
+            st, spn = orig(self, extra_steps)
+            starts.append(st)
+            return st, spn
+
+        monkeypatch.setattr(DecodeEngine, "_attn_window", spy)
+        got = eng.generate([prompt], sp)[0]
+        assert max(starts) >= 128          # the bound actually engaged
+
+        ref_eng = DecodeEngine(params, cfg, max_batch=1, max_seq=256,
+                               quantized_kv=False)
+        monkeypatch.setattr(DecodeEngine, "_attn_window",
+                            lambda self, extra_steps=0:
+                            (0, self._attn_span(extra_steps)))
+        ref = ref_eng.generate([prompt], sp)[0]
+        assert got == ref
+
+    def test_mixed_window_models_keep_full_read(self, rng):
+        from tpu_bitsandbytes.models import llama as L
+        import dataclasses
+        cfg = L.LlamaConfig.tiny_gemma2()       # alternating windows
+        params = L.init_params(jax.random.PRNGKey(22), cfg,
+                               dtype=jnp.float32)
+        qp = L.quantize_params(params, dtype=jnp.float32)
+        e = DecodeEngine(qp, cfg, max_batch=1, max_seq=64,
+                         quantized_kv=False)
+        e.add_request(list(rng.integers(0, cfg.vocab_size, 40)),
+                      SamplingParams(max_new_tokens=2))
+        e._admit()
+        assert e._attn_window() == (0, e._attn_span())

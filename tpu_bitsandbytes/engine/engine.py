@@ -34,7 +34,8 @@ from .sampler import SamplingArrays, SamplingParams, sample, sample_batched
 
 
 def _decode_step_impl(params, cache: KVCache, tokens, active,
-                      config: llama.LlamaConfig, attn_span=None):
+                      config: llama.LlamaConfig, attn_span=None,
+                      attn_start=0):
     positions = cache.lengths  # write position for this step
     x, cos, sin = llama.decode_embed_and_rope(params, tokens, positions,
                                               config)
@@ -42,7 +43,7 @@ def _decode_step_impl(params, cache: KVCache, tokens, active,
         x, cache = llama.decode_layer(
             layer, x, cos, sin, positions, cache, li, config,
             n_heads=config.num_heads, n_kv=config.num_kv_heads,
-            attn_span=attn_span)
+            attn_span=attn_span, attn_start=attn_start)
 
     x = rms_norm(x, params["final_norm"], config.rms_eps,
                  config.rms_weight_offset)
@@ -52,22 +53,24 @@ def _decode_step_impl(params, cache: KVCache, tokens, active,
     return logits, cache
 
 
-@partial(jax.jit, static_argnames=("config", "attn_span"),
+@partial(jax.jit, static_argnames=("config", "attn_span", "attn_start"),
          donate_argnums=(1,))
 def decode_step(params, cache: KVCache, tokens: jnp.ndarray, active: jnp.ndarray,
-                config: llama.LlamaConfig, attn_span: Optional[int] = None):
+                config: llama.LlamaConfig, attn_span: Optional[int] = None,
+                attn_start: int = 0):
     """Advance every slot one token. tokens [B] int32, active [B] bool.
 
     ``attn_span`` (static): bound the KV read/attention to the first
     ``attn_span`` positions; must cover every active slot's length + 1.
     Returns (logits [B, V], new cache with lengths advanced for active slots).
     """
-    return _decode_step_impl(params, cache, tokens, active, config, attn_span)
+    return _decode_step_impl(params, cache, tokens, active, config,
+                             attn_span, attn_start)
 
 
 @partial(jax.jit,
          static_argnames=("config", "n_steps", "all_greedy", "attn_span",
-                          "want_logprobs"),
+                          "want_logprobs", "attn_start"),
          donate_argnums=(1,))
 def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
                  active: jnp.ndarray, key: jax.Array, samp,
@@ -75,7 +78,8 @@ def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
                  all_greedy: bool = False,
                  attn_span: Optional[int] = None,
                  seen_mask: Optional[jnp.ndarray] = None,
-                 want_logprobs: bool = False):
+                 want_logprobs: bool = False,
+                 attn_start: int = 0):
     """Advance every slot up to ``n_steps`` tokens in ONE jit call.
 
     Sampling (per-slot :class:`SamplingArrays`) and EOS handling run on
@@ -101,7 +105,7 @@ def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
     def body(carry, _):
         cache, tokens, active, key, seen = carry
         logits, cache = _decode_step_impl(params, cache, tokens, active,
-                                          config, attn_span)
+                                          config, attn_span, attn_start)
         key, sub = jax.random.split(key)
         if seen is not None:
             from .sampler import apply_repetition_penalty
@@ -191,12 +195,13 @@ def prefill_batch(params, cache: KVCache, tokens: jnp.ndarray,
     return firsts, cache
 
 
-@partial(jax.jit, static_argnames=("config", "attn_span"),
+@partial(jax.jit, static_argnames=("config", "attn_span", "attn_start"),
          donate_argnums=(1,))
 def prefill_chunk_step(params, cache: KVCache, tokens: jnp.ndarray,
                        slot: jnp.ndarray, start: jnp.ndarray,
                        new_len: jnp.ndarray, config: llama.LlamaConfig,
-                       attn_span: Optional[int] = None):
+                       attn_span: Optional[int] = None,
+                       attn_start: int = 0):
     """One chunk of a chunked prefill: tokens [1, C] written into ``slot``
     at positions [start, start+C); the chunk's queries attend to the slot's
     own history (slot-targeted decode_layer — O(span) attention, not
@@ -228,7 +233,7 @@ def prefill_chunk_step(params, cache: KVCache, tokens: jnp.ndarray,
         x, cache = llama.decode_layer(
             layer, x, cos, sin, positions, cache, li, config,
             n_heads=config.num_heads, n_kv=config.num_kv_heads,
-            attn_span=attn_span, slot=slot)
+            attn_span=attn_span, slot=slot, attn_start=attn_start)
     cache = dataclasses.replace(
         cache, lengths=cache.lengths.at[slot].set(new_len))
     return x, cache
@@ -608,10 +613,16 @@ class DecodeEngine:
         toks = np.zeros((1, c), np.int32)
         toks[0, :end - start] = req.prompt[start:end]
         span = _span_bucket(start + c, self.max_seq)
+        w = self.config.sliding_window
+        fully = (w is not None
+                 and self.config.sliding_window_pattern is None
+                 and (self.config.sliding_window_layers is None
+                      or all(self.config.sliding_window_layers)))
+        a_start = max(0, (start - w) // 128 * 128) if fully else 0
         x, self.cache = prefill_chunk_step(
             self.params, self.cache, jnp.asarray(toks), jnp.int32(slot),
             jnp.int32(start), jnp.int32(min(end, n)), self.config,
-            attn_span=span)
+            attn_span=span, attn_start=a_start)
         req.prefill_pos = end
         if end >= n:
             logits = prefill_final_logits(self.params, x,
@@ -620,6 +631,29 @@ class DecodeEngine:
             req.pending_first = self._sample_first(logits, req)
             req.prefilling = False
         return True
+
+    def _attn_window(self, extra_steps: int = 0) -> "tuple[int, int]":
+        """(attn_start, attn_span) for the next decode chunk.
+
+        For fully-windowed models (every layer sliding — Mistral-class) the
+        KV read is bounded from below too: start = 128-bucketed
+        (shortest active position - window), so long-context decode streams
+        O(window) KV instead of O(context) (the mask would discard the
+        prefix anyway). Mixed-window models (Gemma2/Qwen2 per-layer splits)
+        keep start=0 — their global layers need the full prefix."""
+        span = self._attn_span(extra_steps)
+        w = self.config.sliding_window
+        fully = (w is not None
+                 and self.config.sliding_window_pattern is None
+                 and (self.config.sliding_window_layers is None
+                      or all(self.config.sliding_window_layers)))
+        if not fully:
+            return 0, span
+        shortest = min((len(r.prompt) + len(r.generated)
+                        for r in self.active.values() if not r.prefilling),
+                       default=0)
+        start = max(0, (shortest - w) // 128 * 128)
+        return start, span
 
     def _attn_span(self, extra_steps: int = 0) -> int:
         """Static attention-span bucket for the next decode chunk.
@@ -778,12 +812,13 @@ class DecodeEngine:
         seen = self._seen_mask() if self._needs_seen_mask() else None
         want_lp = any(r.params.logprobs for r in self.active.values())
         self.key, sub = jax.random.split(self.key)
+        a_start, a_span = self._attn_window()
         toks_seq, act_seq, self.cache, _, _, _, lp_seq, _ = decode_chunk(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(active_mask), sub, samp, self.config,
             n_steps=self.steps_per_sync, all_greedy=all_greedy,
-            attn_span=self._attn_span(), seen_mask=seen,
-            want_logprobs=want_lp)
+            attn_span=a_span, seen_mask=seen,
+            want_logprobs=want_lp, attn_start=a_start)
         emitted, _ = self._collect_chunk(toks_seq, act_seq,
                                          lp_seq if want_lp else None)
         self.metrics.record(emitted, _time.perf_counter() - t0)
@@ -1052,7 +1087,7 @@ class DecodeEngine:
             dispatched = 0          # steps in flight, uncollected
             t0 = _time.perf_counter()
             while True:
-                span = self._attn_span(extra_steps=dispatched)
+                a_start, span = self._attn_window(extra_steps=dispatched)
                 if self._tp_decode is not None:
                     # mesh chunk: fresh host-split key per dispatch (the
                     # dp-folded key never leaves the shard_map)
@@ -1073,7 +1108,8 @@ class DecodeEngine:
                             self.params, self.cache, *carry, chain_key, samp,
                             self.config, n_steps=self.steps_per_sync,
                             all_greedy=all_greedy, attn_span=span,
-                            seen_mask=seen, want_logprobs=want_lp)
+                            seen_mask=seen, want_logprobs=want_lp,
+                            attn_start=a_start)
                     carry = [tok_d, act_d]
                     inflight.append((toks_seq, act_seq,
                                      lp_seq if want_lp else None))

@@ -160,7 +160,7 @@ class KVCache:
         v = self.v.at[layer, b_idx, h_idx, pos].set(v_hm.astype(self.v.dtype))
         return dataclasses.replace(self, k=k, v=v)
 
-    def read(self, layer: int, span: Optional[int] = None
+    def read(self, layer: int, span: Optional[int] = None, start: int = 0
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Dequantized K/V for a layer: [B, span, H, D] in compute dtype
         (token-major, the gqa_attention operand layout).
@@ -176,7 +176,7 @@ class KVCache:
         ``gqa_attention_kv_quant``, which consumes the storage layout
         directly.
         """
-        sl = slice(None) if span is None else slice(0, span)
+        sl = slice(start, span)
         if self.quantized:
             k = (self.k[layer, :, :, sl].astype(jnp.float32)
                  * (self.k_scale[layer, :, :, sl][..., None] / 127.0)
@@ -188,21 +188,27 @@ class KVCache:
         return (jnp.swapaxes(self.k[layer, :, :, sl], 1, 2),
                 jnp.swapaxes(self.v[layer, :, :, sl], 1, 2))
 
-    def read_raw(self, layer: int, span: Optional[int] = None):
+    def read_raw(self, layer: int, span: Optional[int] = None,
+                 start: int = 0):
         """Raw codes + scales for a layer: (k, k_scale, v, v_scale), codes
-        [B, H, span, D] and scales [B, H, span] — the storage layout, which
-        is exactly the (batch=(B,H), contract=D|T) operand layout of the
-        scale-folded attention (models.layers.gqa_attention_kv_quant). The
-        span slice therefore fuses into the attention dots with no
-        materialized copy. Scales are None when not quantized.
+        [B, H, span-start, D] and scales [B, H, span-start] — the storage
+        layout, which is exactly the (batch=(B,H), contract=D|T) operand
+        layout of the scale-folded attention
+        (models.layers.gqa_attention_kv_quant). The slice fuses into the
+        attention dots with no materialized copy. ``start`` (static) bounds
+        the read from below — the fully-windowed decode path reads only
+        [start, span) where start tracks (shortest active position -
+        window), so sliding-window attention stops paying O(context) KV
+        bandwidth. Scales are None when not quantized.
         """
-        sl = slice(None) if span is None else slice(0, span)
+        sl = slice(start, span)
         if self.quantized:
             return (self.k[layer, :, :, sl], self.k_scale[layer, :, :, sl],
                     self.v[layer, :, :, sl], self.v_scale[layer, :, :, sl])
         return self.k[layer, :, :, sl], None, self.v[layer, :, :, sl], None
 
-    def read_raw_slot(self, layer: int, slot, span: Optional[int] = None):
+    def read_raw_slot(self, layer: int, slot, span: Optional[int] = None,
+                      start: int = 0):
         """Raw codes + scales for ONE slot: (k, k_scale, v, v_scale), codes
         [1, H, span, D], scales [1, H, span] (None when unquantized).
 
@@ -210,7 +216,7 @@ class KVCache:
         chunked-prefill path: a prompt chunk's queries attend only to their
         own slot's history, so reading the one slot keeps the attention
         cost O(span) instead of O(B·span)."""
-        sl = slice(None) if span is None else slice(0, span)
+        sl = slice(start, span)
 
         def one(buf):
             if buf is None:

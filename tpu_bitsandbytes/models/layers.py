@@ -282,20 +282,23 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
 # --- attention --------------------------------------------------------------
 
 
-def _causal_mask(s, t, causal_offset, window=None):
+def _causal_mask(s, t, causal_offset, window=None, kpos_start=0):
     """Causal (and optionally sliding-window) attention mask.
 
     ``window``: Mistral-style sliding window — a query at position p attends
     to keys in (p - window, p]. None = full causal.
+    ``kpos_start``: absolute position of key index 0 — the windowed-decode
+    path slices the KV read to [start, start+span) (KVCache.read_raw with
+    start) so the mask must see absolute key positions.
     """
     if causal_offset is None:
         qpos = jnp.arange(s)[:, None]
-        kpos = jnp.arange(t)[None, :]
+        kpos = kpos_start + jnp.arange(t)[None, :]
         keep = kpos <= qpos
         if window is not None:
             keep &= kpos > qpos - window
         return keep[None, None, None, :, :]                 # [1,1,1,S,T]
-    kpos = jnp.arange(t)[None, None, :]
+    kpos = kpos_start + jnp.arange(t)[None, None, :]
     off = causal_offset[:, :, None]
     keep = kpos <= off                                      # [B, S, T]
     if window is not None:
@@ -309,7 +312,7 @@ def _softcap(logits, cap):
 
 
 def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None,
-                  window=None, softcap=None):
+                  window=None, softcap=None, kpos_start=0):
     """Grouped-query attention over full K/V.
 
     q: [B, S, H, D]; k/v: [B, T, H_kv, D]. Returns [B, S, H, D].
@@ -337,7 +340,7 @@ def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None,
     if softcap is not None:
         logits = _softcap(logits, softcap)
     if mask is None:
-        mask = _causal_mask(s, t, causal_offset, window)
+        mask = _causal_mask(s, t, causal_offset, window, kpos_start)
     logits = jnp.where(mask, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     pc, vc = (probs.astype(q.dtype), v.astype(q.dtype)) if half else (
@@ -348,7 +351,7 @@ def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None,
 
 
 def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None,
-                     window=None, softcap=None):
+                     window=None, softcap=None, kpos_start=0):
     """GQA over **head-major** full-precision K/V (unquantized decode path).
 
     q: [B, S, H, D]; k/v: [B, H_kv, T, D] — the KV cache's storage layout
@@ -372,7 +375,8 @@ def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None,
                         preferred_element_type=jnp.float32) * scale
     if softcap is not None:
         logits = _softcap(logits, softcap)
-    logits = jnp.where(_causal_mask(s, t, causal_offset, window),
+    logits = jnp.where(_causal_mask(s, t, causal_offset, window,
+                                    kpos_start),
                        logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     pc, vc = (probs.astype(q.dtype), v.astype(q.dtype)) if half else (
@@ -384,7 +388,7 @@ def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None,
 
 def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
                            causal_offset=None, scale=None, window=None,
-                           softcap=None):
+                           softcap=None, kpos_start=0):
     """GQA directly over int8 KV codes (decode fast path).
 
     q: [B, S, H, D]; k_q/v_q: int8 **head-major** [B, H_kv, T, D];
@@ -424,7 +428,8 @@ def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
     logits = logits * ks
     if softcap is not None:
         logits = _softcap(logits, softcap)
-    logits = jnp.where(_causal_mask(s, t, causal_offset, window),
+    logits = jnp.where(_causal_mask(s, t, causal_offset, window,
+                                    kpos_start),
                        logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     # v_scale folds on the contraction axis t, before the PV product

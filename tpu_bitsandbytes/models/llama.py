@@ -695,7 +695,7 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
                  wrap=lambda w, row=False: w,
                  reduce_fn=lambda t, w: t,
                  attn_span: Optional[int] = None,
-                 slot=None):
+                 slot=None, attn_start: int = 0):
     """One transformer layer of the cached decode step (single token).
 
     Shared by the single-device decode step (engine/engine.py) and the
@@ -733,12 +733,12 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
     k = apply_rope(k, cos, sin)
     if slot is None:
         cache = cache.write_decode(li, k, v, pos2d)
-        reads = lambda: cache.read_raw(li, attn_span)
+        reads = lambda: cache.read_raw(li, attn_span, attn_start)
     else:
         # slot-targeted (chunked prefill): x is [1, C] for one cache slot;
         # attention reads only that slot's history (O(span), not O(B·span))
         cache = cache.write_decode(li, k, v, pos2d, slots=slot[None])
-        reads = lambda: cache.read_raw_slot(li, slot, attn_span)
+        reads = lambda: cache.read_raw_slot(li, slot, attn_span, attn_start)
     win = _layer_window(config, li)
     sc, cap = _attn_scale(config), config.attn_logit_softcap
     if cache.quantized and jnp.dtype(config.dtype) in (jnp.bfloat16,
@@ -747,7 +747,8 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
         # bf16 MXU contractions (see gqa_attention_kv_quant)
         kq, ks, vq, vs = reads()
         attn = gqa_attention_kv_quant(q, kq, ks, vq, vs, causal_offset=pos2d,
-                                      window=win, scale=sc, softcap=cap)
+                                      window=win, scale=sc, softcap=cap,
+                                      kpos_start=attn_start)
     elif cache.quantized:
         # f32 compute: dequantize the (slot-sliced) head-major codes
         kq, ks, vq, vs = reads()
@@ -756,12 +757,14 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
         v_all = (vq.astype(jnp.float32)
                  * (vs[..., None] / 127.0)).astype(config.dtype)
         attn = gqa_attention_hm(q, k_all, v_all, causal_offset=pos2d,
-                                window=win, scale=sc, softcap=cap)
+                                window=win, scale=sc, softcap=cap,
+                                kpos_start=attn_start)
     else:
         # unquantized cache: consume the head-major storage in place
         k_hm, _, v_hm, _ = reads()
         attn = gqa_attention_hm(q, k_hm, v_hm, causal_offset=pos2d,
-                                window=win, scale=sc, softcap=cap)
+                                window=win, scale=sc, softcap=cap,
+                                kpos_start=attn_start)
     o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, s, -1))
     eps, off = config.rms_eps, config.rms_weight_offset
     o_full = reduce_fn(o, layer["o_proj"])
