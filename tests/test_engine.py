@@ -975,3 +975,83 @@ class TestWindowedKVRead:
                       SamplingParams(max_new_tokens=2))
         e._admit()
         assert e._attn_window() == (0, e._attn_span())
+
+
+class TestRingKV:
+    """Rolling KV buffer for fully-windowed models: O(window) cache memory
+    and attention, token-identical to the full-size cache."""
+
+    def _cfg(self, rng, max_seq=512, window=32):
+        from tpu_bitsandbytes.models import llama as L
+        import dataclasses
+        cfg = dataclasses.replace(L.LlamaConfig.tiny_mistral(),
+                                  sliding_window=window, max_seq_len=max_seq,
+                                  dtype=jnp.float32)
+        params = L.init_params(jax.random.PRNGKey(31), cfg,
+                               dtype=jnp.float32)
+        return cfg, params
+
+    @pytest.mark.parametrize("quantized_kv", [False, True])
+    def test_ring_matches_full_cache(self, rng, quantized_kv):
+        cfg, params = self._cfg(rng)
+        prompt = list(rng.integers(0, cfg.vocab_size, 150))
+        sp = SamplingParams(max_new_tokens=12)
+        ref = DecodeEngine(params, cfg, max_batch=2, max_seq=512,
+                           quantized_kv=quantized_kv).generate([prompt], sp)
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=512,
+                         quantized_kv=quantized_kv, ring_kv=True)
+        assert e.cache.ring and e.cache.max_seq < 512
+        got = e.generate([prompt], sp)
+        assert got == ref
+
+    def test_ring_memory_is_window_sized(self, rng):
+        cfg, params = self._cfg(rng, max_seq=512, window=32)
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=512,
+                         quantized_kv=True, ring_kv=True)
+        full = DecodeEngine(params, cfg, max_batch=2, max_seq=512,
+                            quantized_kv=True)
+        # ring = ceil128(window + slack) = 128 vs max_seq 512
+        assert e.cache.k.size * 4 <= full.cache.k.size
+
+    def test_ring_generation_past_ring_size(self, rng):
+        """Decode far beyond the ring size: oldest entries recycle and the
+        outputs still match the full cache."""
+        cfg, params = self._cfg(rng, max_seq=512, window=32)
+        prompt = list(rng.integers(0, cfg.vocab_size, 20))
+        sp = SamplingParams(max_new_tokens=120)   # 140 >> ring (~64)
+        ref = DecodeEngine(params, cfg, max_batch=1, max_seq=512,
+                           quantized_kv=False).generate([prompt], sp)
+        e = DecodeEngine(params, cfg, max_batch=1, max_seq=512,
+                         quantized_kv=False, ring_kv=True)
+        got = e.generate([prompt], sp)
+        assert got == ref
+
+    def test_ring_speculative_and_snapshot(self, rng, tmp_path):
+        cfg, params = self._cfg(rng)
+        rep = (list(map(int, rng.integers(0, cfg.vocab_size, 7))) * 6)[:40]
+        sp = SamplingParams(max_new_tokens=10)
+        ref = DecodeEngine(params, cfg, max_batch=1, max_seq=512,
+                           quantized_kv=False).generate([rep], sp)
+        spec = DecodeEngine(params, cfg, max_batch=1, max_seq=512,
+                            quantized_kv=False, ring_kv=True,
+                            speculative="ngram")
+        assert spec.generate([rep], sp) == ref
+        # snapshot round-trips the ring flags
+        e = DecodeEngine(params, cfg, max_batch=1, max_seq=512,
+                         quantized_kv=False, ring_kv=True)
+        e.add_request(rep, sp)
+        e.step()
+        path = str(tmp_path / "ring.npz")
+        e.save_state(path)
+        e2 = DecodeEngine(params, cfg, max_batch=1, max_seq=512,
+                          quantized_kv=False, ring_kv=True)
+        e2.load_state(path)
+        assert e2.cache.ring
+        while e2.step():
+            pass
+        assert e2.finished[0].generated == ref[0]
+
+    def test_ring_rejects_unsuitable_configs(self, tiny_model):
+        cfg, params = tiny_model
+        with pytest.raises(ValueError):
+            DecodeEngine(params, cfg, max_batch=1, max_seq=64, ring_kv=True)

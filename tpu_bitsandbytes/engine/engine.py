@@ -99,7 +99,7 @@ def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
     ``logprobs_seq`` is the model log-softmax at each emitted token
     (pre-penalty, pre-temperature — the serving-API convention).
     """
-    max_seq = cache.max_seq
+    max_seq = cache.max_positions or cache.max_seq   # absolute room bound
     b = tokens.shape[0]
 
     def body(carry, _):
@@ -141,7 +141,8 @@ def _prefill_impl(params, cache: KVCache, tokens, slot, true_len,
                   config: llama.LlamaConfig):
     logits, new_kv = llama.forward(params, tokens, config, return_kv=True)
     for li, (k, v) in enumerate(new_kv):
-        cache = cache.write_prefill(li, slot, k[0], v[0], 0)
+        cache = cache.write_prefill(li, slot, k[0], v[0], 0,
+                                    valid_len=true_len)
     cache = dataclasses.replace(
         cache, lengths=cache.lengths.at[slot].set(true_len))
     last = jnp.take_along_axis(
@@ -328,7 +329,8 @@ class DecodeEngine:
                  quantized_kv: bool = True, seed: int = 0, mesh=None,
                  steps_per_sync: int = 8, runtime_cache: Optional[str] = None,
                  speculative: Optional[str] = None, spec_gamma: int = 4,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 ring_kv: bool = False):
         """``mesh``: a (dp, tp) Mesh for multi-chip serving. Params are
         tp/dp-sharded (column/row-parallel packed weights, head-sharded KV
         cache); decode runs the shard_map TP step, prefill runs under GSPMD.
@@ -347,7 +349,12 @@ class DecodeEngine:
         longer than this are written to the KV cache ``prefill_chunk``
         tokens per engine step, interleaved with decode chunks, so one long
         admission cannot stall every running stream for a full-prompt
-        forward."""
+        forward.
+        ``ring_kv``: rolling KV buffer for fully-sliding-window models
+        (every layer windowed, Mistral-class): cache memory and decode
+        attention cost become O(window) instead of O(max_seq). The ring is
+        sized window + in-flight positions (steps_per_sync/spec_gamma) so
+        every in-window entry is unambiguous."""
         self.config = config
         self.max_batch = max_batch
         self.max_seq = max_seq or config.max_seq_len
@@ -367,12 +374,26 @@ class DecodeEngine:
                 "chunked prefill is single-device only (the shard_map "
                 "prefill path does not chunk); drop prefill_chunk= or mesh=")
         self.prefill_chunk = prefill_chunk
+        w = config.sliding_window
+        fully_windowed = (
+            w is not None and config.sliding_window_pattern is None
+            and (config.sliding_window_layers is None
+                 or all(config.sliding_window_layers)))
+        if ring_kv and not fully_windowed:
+            raise ValueError("ring_kv requires a fully-sliding-window "
+                             "config (every layer windowed)")
+        if ring_kv and mesh is not None:
+            raise ValueError("ring_kv is single-device only for now")
+        slack = max(self.steps_per_sync, int(spec_gamma) + 1,
+                    prefill_chunk or 0) + 1
+        self.ring_size = (-(-(w + slack) // 128) * 128) if ring_kv else None
         self.spec_stats = {"verify_steps": 0, "drafted": 0, "accepted": 0}
         if runtime_cache:
             params = llama.build_runtime_cache(params, runtime_cache)
         cache = KVCache.create(
             config.num_layers, max_batch, self.max_seq, config.num_kv_heads,
-            config.hd, quantized=quantized_kv, dtype=config.dtype)
+            config.hd, quantized=quantized_kv, dtype=config.dtype,
+            ring_size=self.ring_size)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel import (shard_params, kv_cache_spec,
@@ -472,7 +493,10 @@ class DecodeEngine:
         for slot, req in taken:
             if req.params.logprobs or (
                     self.prefill_chunk is not None
-                    and len(req.prompt) > self.prefill_chunk):
+                    and len(req.prompt) > self.prefill_chunk) or (
+                    self.ring_size is not None
+                    and _bucket(len(req.prompt), self.max_seq)
+                    > self.ring_size):
                 self._admit_one(slot, req)
                 continue
             groups.setdefault(_bucket(len(req.prompt), self.max_seq),
@@ -612,13 +636,16 @@ class DecodeEngine:
         end = min(start + c, n)
         toks = np.zeros((1, c), np.int32)
         toks[0, :end - start] = req.prompt[start:end]
-        span = _span_bucket(start + c, self.max_seq)
-        w = self.config.sliding_window
-        fully = (w is not None
-                 and self.config.sliding_window_pattern is None
-                 and (self.config.sliding_window_layers is None
-                      or all(self.config.sliding_window_layers)))
-        a_start = max(0, (start - w) // 128 * 128) if fully else 0
+        if self.cache.ring:
+            span, a_start = None, 0
+        else:
+            span = _span_bucket(start + c, self.max_seq)
+            w = self.config.sliding_window
+            fully = (w is not None
+                     and self.config.sliding_window_pattern is None
+                     and (self.config.sliding_window_layers is None
+                          or all(self.config.sliding_window_layers)))
+            a_start = max(0, (start - w) // 128 * 128) if fully else 0
         x, self.cache = prefill_chunk_step(
             self.params, self.cache, jnp.asarray(toks), jnp.int32(slot),
             jnp.int32(start), jnp.int32(min(end, n)), self.config,
@@ -641,6 +668,10 @@ class DecodeEngine:
         O(window) KV instead of O(context) (the mask would discard the
         prefix anyway). Mixed-window models (Gemma2/Qwen2 per-layer splits)
         keep start=0 — their global layers need the full prefix."""
+        if self.cache.ring:
+            # rolling buffer: the read is always the whole ring; spans are
+            # meaningless (and would only multiply compiles)
+            return 0, None
         span = self._attn_span(extra_steps)
         w = self.config.sliding_window
         fully = (w is not None
@@ -841,7 +872,8 @@ class DecodeEngine:
         toks = np.concatenate([tokens[:, None], drafts], axis=1)
         longest = max(len(r.prompt) + len(r.generated)
                       for r in self.active.values())
-        span = _span_bucket(longest + g + 1, self.max_seq)
+        span = (None if self.cache.ring
+                else _span_bucket(longest + g + 1, self.max_seq))
         samp = SamplingArrays.build(
             {s: r.params for s, r in self.active.items()}, self.max_batch)
         self.key, sub = jax.random.split(self.key)
@@ -880,7 +912,8 @@ class DecodeEngine:
         scratch = KVCache.create(
             self.config.num_layers, self.max_batch, self.max_seq,
             self.config.num_kv_heads, self.config.hd,
-            quantized=self.cache.quantized, dtype=self.cache.dtype)
+            quantized=self.cache.quantized, dtype=self.cache.dtype,
+            ring_size=self.ring_size)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel import kv_cache_spec
@@ -920,8 +953,9 @@ class DecodeEngine:
         # variant), at every attention-span bucket the given prompt lengths
         # reach — span is a static argname, so each bucket is its own compile
         samp = SamplingArrays.build({}, self.max_batch)
-        spans = sorted({_span_bucket(b + self.steps_per_sync, self.max_seq)
-                        for b in buckets} | {128})
+        spans = ([None] if self.cache.ring else
+                 sorted({_span_bucket(b + self.steps_per_sync, self.max_seq)
+                         for b in buckets} | {128}))
         zero_toks = jnp.zeros((self.max_batch,), jnp.int32)
         all_active = jnp.ones((self.max_batch,), bool)
         mask = jnp.zeros((self.max_batch, self.config.vocab_size), bool)
@@ -978,6 +1012,8 @@ class DecodeEngine:
                       "v_scale": self.cache.v_scale,
                       "lengths": self.cache.lengths,
                       "quantized": self.cache.quantized,
+                      "ring": self.cache.ring,
+                      "max_positions": self.cache.max_positions,
                       "dtype": jnp.dtype(self.cache.dtype).name},
             "key": self.key, "uid": self._uid,
             "waiting": [enc_req(r) for r in self.waiting],
@@ -1007,6 +1043,7 @@ class DecodeEngine:
 
         st = load_checkpoint(path)
         c = st["cache"]
+        mp = c.get("max_positions")
         cache = KVCache(k=jnp.asarray(c["k"]), v=jnp.asarray(c["v"]),
                         k_scale=None if c["k_scale"] is None
                         else jnp.asarray(c["k_scale"]),
@@ -1014,6 +1051,8 @@ class DecodeEngine:
                         else jnp.asarray(c["v_scale"]),
                         lengths=jnp.asarray(c["lengths"]),
                         quantized=bool(c["quantized"]),
+                        ring=bool(c.get("ring", False)),
+                        max_positions=None if mp is None else int(mp),
                         dtype=jnp.dtype(c["dtype"]))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

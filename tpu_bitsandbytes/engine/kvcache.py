@@ -35,10 +35,18 @@ class KVCache:
     lengths: jnp.ndarray      # int32 [B]
     quantized: bool = True
     dtype: Any = jnp.bfloat16
+    # Ring mode (static): the S axis is a rolling buffer of the last S
+    # positions — absolute position p lives at index p % S. Built by
+    # create(ring=True) for fully-sliding-window models, where positions
+    # older than the window are never attended: KV memory is O(window)
+    # instead of O(max_seq). ``lengths`` stay ABSOLUTE positions.
+    ring: bool = False
+    # absolute sequence bound in ring mode (S < max_seq); plain mode uses S
+    max_positions: Optional[int] = None
 
     def tree_flatten(self):
         return ((self.k, self.v, self.k_scale, self.v_scale, self.lengths),
-                (self.quantized, self.dtype))
+                (self.quantized, self.dtype, self.ring, self.max_positions))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -46,15 +54,20 @@ class KVCache:
         obj = cls.__new__(cls)
         obj.k, obj.v, obj.k_scale, obj.v_scale = k, v, ks, vs
         obj.lengths = lengths
-        obj.quantized, obj.dtype = aux
+        obj.quantized, obj.dtype, obj.ring, obj.max_positions = aux
         return obj
 
     # ------------------------------------------------------------------
     @classmethod
     def create(cls, num_layers: int, batch: int, max_seq: int, num_kv_heads: int,
-               head_dim: int, quantized: bool = True, dtype=jnp.bfloat16
-               ) -> "KVCache":
-        shape = (num_layers, batch, num_kv_heads, max_seq, head_dim)
+               head_dim: int, quantized: bool = True, dtype=jnp.bfloat16,
+               ring_size: Optional[int] = None) -> "KVCache":
+        """``ring_size``: allocate a rolling S axis of this size (must
+        exceed the model's sliding window) while ``max_seq`` stays the
+        absolute sequence bound; None = plain absolute-position cache."""
+        s_axis = max_seq if ring_size is None else min(ring_size, max_seq)
+        ring = ring_size is not None and s_axis < max_seq
+        shape = (num_layers, batch, num_kv_heads, s_axis, head_dim)
         if quantized:
             k = jnp.zeros(shape, jnp.int8)
             v = jnp.zeros(shape, jnp.int8)
@@ -66,7 +79,8 @@ class KVCache:
             ks = vs = None
         return cls(k=k, v=v, k_scale=ks, v_scale=vs,
                    lengths=jnp.zeros((batch,), jnp.int32),
-                   quantized=quantized, dtype=jnp.dtype(dtype))
+                   quantized=quantized, dtype=jnp.dtype(dtype),
+                   ring=ring, max_positions=max_seq if ring else None)
 
     @property
     def max_seq(self) -> int:
@@ -91,7 +105,7 @@ class KVCache:
         return q, absmax
 
     def write_prefill(self, layer: int, slot, k_new, v_new, start: int = 0,
-                      own=None) -> "KVCache":
+                      own=None, valid_len=None) -> "KVCache":
         """Write [S_p, H, D] k/v for one slot at positions [start, start+S_p).
 
         ``slot`` may be traced. ``own`` (traced bool, optional) masks the
@@ -99,8 +113,14 @@ class KVCache:
         used by the dp-sharded TP prefill, where only the dp group owning the
         slot may mutate its shard (parallel/tp.py). Masking happens on the
         small [H, S_p, D] slice, not the full cache, so non-owners pay one
-        slice read instead of a whole-buffer select. Returns the updated
-        cache (functional).
+        slice read instead of a whole-buffer select.
+
+        ``valid_len`` (traced, REQUIRED in ring mode): positions >= valid_len
+        are garbage padding. In the plain cache they live harmlessly beyond
+        the slot's length, but a ring buffer wraps them onto *earlier real
+        entries* (pad position p and real position p - S share an index), so
+        ring writes drop them instead. Returns the updated cache
+        (functional).
         """
         def upd(buf, new, idx):
             if own is not None:
@@ -110,6 +130,38 @@ class KVCache:
 
         k_hm = jnp.swapaxes(k_new, 0, 1)        # [H, S_p, D]
         v_hm = jnp.swapaxes(v_new, 0, 1)
+        if self.ring:
+            # rolling buffer: scatter each position at p % S. Dropped (via
+            # the out-of-bounds index S): garbage padding at/after
+            # valid_len (it would wrap onto real earlier entries), and
+            # positions more than S behind the newest kept one.
+            s_ring = self.k.shape[3]
+            s_p = k_hm.shape[1]
+            pos_abs = start + jnp.arange(s_p)
+            last = (start + s_p - 1 if valid_len is None
+                    else jnp.minimum(start + s_p - 1, valid_len - 1))
+            keep = pos_abs > last - s_ring
+            if valid_len is not None:
+                keep &= pos_abs < valid_len
+            idx = jnp.where(keep, pos_abs % s_ring, s_ring)
+            if own is not None:
+                idx = jnp.where(own, idx, s_ring)      # non-owners drop all
+            h_idx = jnp.arange(self.num_kv_heads)[:, None]
+            pos2 = idx[None, :]
+            if self.quantized:
+                kq, ks = self._quant(k_hm)
+                vq, vs = self._quant(v_hm)
+                k = self.k.at[layer, slot, h_idx, pos2].set(kq)
+                v = self.v.at[layer, slot, h_idx, pos2].set(vq)
+                ksc = self.k_scale.at[layer, slot, h_idx, pos2].set(ks)
+                vsc = self.v_scale.at[layer, slot, h_idx, pos2].set(vs)
+                return dataclasses.replace(self, k=k, v=v, k_scale=ksc,
+                                           v_scale=vsc)
+            k = self.k.at[layer, slot, h_idx, pos2].set(
+                k_hm.astype(self.k.dtype))
+            v = self.v.at[layer, slot, h_idx, pos2].set(
+                v_hm.astype(self.v.dtype))
+            return dataclasses.replace(self, k=k, v=v)
         if self.quantized:
             kq, ks = self._quant(k_hm)          # codes [H,S_p,D], scales [H,S_p]
             vq, vs = self._quant(v_hm)
@@ -142,6 +194,9 @@ class KVCache:
         h = self.num_kv_heads
         if positions.ndim == 1:
             positions = positions[:, None]
+        if self.ring:
+            # rolling buffer: absolute position p lives at index p % S
+            positions = positions % self.k.shape[3]
         # head-major scatter indices broadcasting to [B, H, S]
         b_idx = (jnp.arange(b) if slots is None else slots)[:, None, None]
         h_idx = jnp.arange(h)[None, :, None]

@@ -282,7 +282,8 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
 # --- attention --------------------------------------------------------------
 
 
-def _causal_mask(s, t, causal_offset, window=None, kpos_start=0):
+def _causal_mask(s, t, causal_offset, window=None, kpos_start=0,
+                 ring=None):
     """Causal (and optionally sliding-window) attention mask.
 
     ``window``: Mistral-style sliding window — a query at position p attends
@@ -290,7 +291,21 @@ def _causal_mask(s, t, causal_offset, window=None, kpos_start=0):
     ``kpos_start``: absolute position of key index 0 — the windowed-decode
     path slices the KV read to [start, start+span) (KVCache.read_raw with
     start) so the mask must see absolute key positions.
+    ``ring``: rolling-KV mode — key index r holds the LAST absolute
+    position a congruent to r mod ``ring`` with a <= query position;
+    requires ``causal_offset`` (decode) and a ring at least
+    window + max-in-flight-positions long so every in-window entry is
+    unambiguous.
     """
+    if ring is not None:
+        assert causal_offset is not None, "ring mask is decode-only"
+        r = jnp.arange(t)[None, None, :]
+        off = causal_offset[:, :, None]
+        a = off - ((off - r) % ring)        # entry's absolute position
+        keep = a >= 0                       # unwritten entries excluded
+        if window is not None:
+            keep &= a > off - window
+        return keep[:, None, None, :, :]
     if causal_offset is None:
         qpos = jnp.arange(s)[:, None]
         kpos = kpos_start + jnp.arange(t)[None, :]
@@ -312,7 +327,7 @@ def _softcap(logits, cap):
 
 
 def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None,
-                  window=None, softcap=None, kpos_start=0):
+                  window=None, softcap=None, kpos_start=0, ring=None):
     """Grouped-query attention over full K/V.
 
     q: [B, S, H, D]; k/v: [B, T, H_kv, D]. Returns [B, S, H, D].
@@ -340,7 +355,7 @@ def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None,
     if softcap is not None:
         logits = _softcap(logits, softcap)
     if mask is None:
-        mask = _causal_mask(s, t, causal_offset, window, kpos_start)
+        mask = _causal_mask(s, t, causal_offset, window, kpos_start, ring)
     logits = jnp.where(mask, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     pc, vc = (probs.astype(q.dtype), v.astype(q.dtype)) if half else (
@@ -351,7 +366,7 @@ def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None,
 
 
 def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None,
-                     window=None, softcap=None, kpos_start=0):
+                     window=None, softcap=None, kpos_start=0, ring=None):
     """GQA over **head-major** full-precision K/V (unquantized decode path).
 
     q: [B, S, H, D]; k/v: [B, H_kv, T, D] — the KV cache's storage layout
@@ -376,7 +391,7 @@ def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None,
     if softcap is not None:
         logits = _softcap(logits, softcap)
     logits = jnp.where(_causal_mask(s, t, causal_offset, window,
-                                    kpos_start),
+                                    kpos_start, ring),
                        logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     pc, vc = (probs.astype(q.dtype), v.astype(q.dtype)) if half else (
@@ -388,7 +403,7 @@ def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None,
 
 def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
                            causal_offset=None, scale=None, window=None,
-                           softcap=None, kpos_start=0):
+                           softcap=None, kpos_start=0, ring=None):
     """GQA directly over int8 KV codes (decode fast path).
 
     q: [B, S, H, D]; k_q/v_q: int8 **head-major** [B, H_kv, T, D];
@@ -429,7 +444,7 @@ def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
     if softcap is not None:
         logits = _softcap(logits, softcap)
     logits = jnp.where(_causal_mask(s, t, causal_offset, window,
-                                    kpos_start),
+                                    kpos_start, ring),
                        logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     # v_scale folds on the contraction axis t, before the PV product

@@ -731,6 +731,10 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
         v = linear_apply(wrap(layer["v_proj"]), h).reshape(b, s, n_kv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    if cache.ring:
+        # rolling KV: the whole (window-sized) ring is read; the ring mask
+        # maps each entry to its absolute position
+        attn_span, attn_start = None, 0
     if slot is None:
         cache = cache.write_decode(li, k, v, pos2d)
         reads = lambda: cache.read_raw(li, attn_span, attn_start)
@@ -739,6 +743,7 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
         # attention reads only that slot's history (O(span), not O(B·span))
         cache = cache.write_decode(li, k, v, pos2d, slots=slot[None])
         reads = lambda: cache.read_raw_slot(li, slot, attn_span, attn_start)
+    ring = cache.max_seq if cache.ring else None
     win = _layer_window(config, li)
     sc, cap = _attn_scale(config), config.attn_logit_softcap
     if cache.quantized and jnp.dtype(config.dtype) in (jnp.bfloat16,
@@ -748,7 +753,7 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
         kq, ks, vq, vs = reads()
         attn = gqa_attention_kv_quant(q, kq, ks, vq, vs, causal_offset=pos2d,
                                       window=win, scale=sc, softcap=cap,
-                                      kpos_start=attn_start)
+                                      kpos_start=attn_start, ring=ring)
     elif cache.quantized:
         # f32 compute: dequantize the (slot-sliced) head-major codes
         kq, ks, vq, vs = reads()
@@ -758,13 +763,13 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
                  * (vs[..., None] / 127.0)).astype(config.dtype)
         attn = gqa_attention_hm(q, k_all, v_all, causal_offset=pos2d,
                                 window=win, scale=sc, softcap=cap,
-                                kpos_start=attn_start)
+                                kpos_start=attn_start, ring=ring)
     else:
         # unquantized cache: consume the head-major storage in place
         k_hm, _, v_hm, _ = reads()
         attn = gqa_attention_hm(q, k_hm, v_hm, causal_offset=pos2d,
                                 window=win, scale=sc, softcap=cap,
-                                kpos_start=attn_start)
+                                kpos_start=attn_start, ring=ring)
     o = linear_apply(wrap(layer["o_proj"], row=True), attn.reshape(b, s, -1))
     eps, off = config.rms_eps, config.rms_weight_offset
     o_full = reduce_fn(o, layer["o_proj"])
