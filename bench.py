@@ -171,6 +171,10 @@ def main():
     ap.add_argument("--runtime-cache", default="int8",
                     choices=["int8", "bf16", "none"],
                     help="execution format for the NF4 weights")
+    ap.add_argument("--ring-kv", action="store_true",
+                    help="rolling KV buffer (fully-windowed models only, "
+                         "e.g. --model mistral-7b): O(window) KV regardless "
+                         "of --max-seq/--context")
     ap.add_argument("--drop-packed", action="store_true",
                     help="serving mode: free the packed NF4 codes after "
                          "building the runtime cache (HBM headroom for "
@@ -209,18 +213,28 @@ def main():
     # One static attention span covering a whole group (the engine re-buckets
     # per chunk; see DecodeEngine._attn_span). Each group starts from a fresh
     # cache at ``context`` so the span — and therefore the KV bytes the step
-    # reads — is identical across groups.
+    # reads — is identical across groups. Ring caches read the whole
+    # (window-sized) ring instead.
     span = min(args.max_seq,
                -(-(args.context + group_steps) // 128) * 128)
+    if args.ring_kv:
+        span = None
 
     samp = SamplingArrays.build({}, args.batch)   # all-greedy
+
+    ring_size = None
+    if args.ring_kv:
+        if config.sliding_window is None:
+            raise SystemExit("--ring-kv needs a sliding-window model")
+        ring_size = -(-(config.sliding_window + args.chunk_steps + 1)
+                      // 128) * 128
 
     def fresh_state():
         """A cache 'prefilled' to ``context`` so decode attends over real
         history, plus the per-slot decode state."""
         cache = KVCache.create(config.num_layers, args.batch, args.max_seq,
                                config.num_kv_heads, config.hd, quantized=True,
-                               dtype=config.dtype)
+                               dtype=config.dtype, ring_size=ring_size)
         cache = dataclasses.replace(
             cache, lengths=jnp.full((args.batch,), args.context, jnp.int32))
         return (cache, jnp.zeros((args.batch,), jnp.int32),
@@ -228,6 +242,7 @@ def main():
 
     bpt = bytes_per_token(params, config, fresh_state()[0],
                           batch=args.batch, attn_span=span)
+    attn_label = "ring" if args.ring_kv else f"span {span}"
 
     def chunk(cache, tokens, active, key):
         """One engine dispatch: chunk_steps greedy decode steps in one jit
@@ -251,8 +266,8 @@ def main():
         return (time.time() - t0) / group_steps
 
     print(f"compiling decode chunk ({args.chunk_steps} steps/dispatch, "
-          f"{args.group_chunks} chunks/sync, attn span {span}/{args.max_seq})"
-          "...", file=sys.stderr)
+          f"{args.group_chunks} chunks/sync, attn {attn_label}/"
+          f"{args.max_seq})...", file=sys.stderr)
     t0 = time.time()
     run_group()
     print(f"compile+first group: {time.time()-t0:.1f}s", file=sys.stderr)

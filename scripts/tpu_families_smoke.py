@@ -126,6 +126,21 @@ def main():
                              stop=(tuple(base[2:4]),)))[0]
     check("stop sequence truncates", stopped == base[:4])
 
+    # ring KV: token identity vs the full cache on a windowed config
+    import dataclasses
+    rcfg = dataclasses.replace(llama.LlamaConfig.tiny_mistral(),
+                               sliding_window=32, max_seq_len=512)
+    rparams = llama.quantize_params(
+        llama.init_params(jax.random.PRNGKey(3), rcfg, dtype=jnp.float32))
+    rp = list(map(int, rng.integers(0, rcfg.vocab_size, 150)))
+    rsp = SamplingParams(max_new_tokens=8)
+    full_out = DecodeEngine(rparams, rcfg, max_batch=1, max_seq=512,
+                            quantized_kv=False).generate([rp], rsp)
+    ring_eng = DecodeEngine(rparams, rcfg, max_batch=1, max_seq=512,
+                            quantized_kv=False, ring_kv=True)
+    check("ring KV == full cache", ring_eng.generate([rp], rsp) == full_out,
+          f"ring {ring_eng.cache.max_seq}/512")
+
     # speculative: greedy-exact + stochastic acceptance run compiled
     rep = (list(map(int, rng.integers(0, cfg.vocab_size, 6))) * 4)[:20]
     spec = DecodeEngine(params, cfg, max_batch=1, max_seq=128,
