@@ -228,6 +228,11 @@ def main():
             raise SystemExit("--ring-kv needs a sliding-window model")
         ring_size = -(-(config.sliding_window + args.chunk_steps + 1)
                       // 128) * 128
+        if ring_size >= args.max_seq:
+            raise SystemExit(
+                f"--ring-kv is inert: ring {ring_size} >= --max-seq "
+                f"{args.max_seq}; raise --max-seq past the window "
+                f"({config.sliding_window}) to measure the ring")
 
     def fresh_state():
         """A cache 'prefilled' to ``context`` so decode attends over real

@@ -932,15 +932,15 @@ class TestWindowedKVRead:
         from tpu_bitsandbytes.models import llama as L
         import dataclasses
         cfg = dataclasses.replace(L.LlamaConfig.tiny_mistral(),
-                                  sliding_window=16, max_seq_len=256,
+                                  sliding_window=16, max_seq_len=2048,
                                   dtype=jnp.float32)
         params = L.init_params(jax.random.PRNGKey(21), cfg,
                                dtype=jnp.float32)
-        # prompt long enough that start = floor128(len - 16) >= 128
-        prompt = list(rng.integers(0, cfg.vocab_size, 150))
+        # prompt long enough that start = floor1024(len - 16) >= 1024
+        prompt = list(rng.integers(0, cfg.vocab_size, 1100))
         sp = SamplingParams(max_new_tokens=8)
 
-        eng = DecodeEngine(params, cfg, max_batch=1, max_seq=256,
+        eng = DecodeEngine(params, cfg, max_batch=1, max_seq=2048,
                            quantized_kv=False)
         starts = []
         orig = DecodeEngine._attn_window
@@ -952,9 +952,9 @@ class TestWindowedKVRead:
 
         monkeypatch.setattr(DecodeEngine, "_attn_window", spy)
         got = eng.generate([prompt], sp)[0]
-        assert max(starts) >= 128          # the bound actually engaged
+        assert max(starts) >= 1024         # the bound actually engaged
 
-        ref_eng = DecodeEngine(params, cfg, max_batch=1, max_seq=256,
+        ref_eng = DecodeEngine(params, cfg, max_batch=1, max_seq=2048,
                                quantized_kv=False)
         monkeypatch.setattr(DecodeEngine, "_attn_window",
                             lambda self, extra_steps=0:

@@ -375,11 +375,11 @@ class DecodeEngine:
                 "prefill path does not chunk); drop prefill_chunk= or mesh=")
         self.prefill_chunk = prefill_chunk
         w = config.sliding_window
-        fully_windowed = (
+        self._fully_windowed = (
             w is not None and config.sliding_window_pattern is None
             and (config.sliding_window_layers is None
                  or all(config.sliding_window_layers)))
-        if ring_kv and not fully_windowed:
+        if ring_kv and not self._fully_windowed:
             raise ValueError("ring_kv requires a fully-sliding-window "
                              "config (every layer windowed)")
         if ring_kv and mesh is not None:
@@ -387,6 +387,11 @@ class DecodeEngine:
         slack = max(self.steps_per_sync, int(spec_gamma) + 1,
                     prefill_chunk or 0) + 1
         self.ring_size = (-(-(w + slack) // 128) * 128) if ring_kv else None
+        if ring_kv and self.ring_size >= self.max_seq:
+            raise ValueError(
+                f"ring_kv is inert: ring {self.ring_size} >= max_seq "
+                f"{self.max_seq} (window + in-flight slack leaves nothing "
+                f"to roll) — drop ring_kv= or raise max_seq")
         self.spec_stats = {"verify_steps": 0, "drafted": 0, "accepted": 0}
         if runtime_cache:
             params = llama.build_runtime_cache(params, runtime_cache)
@@ -494,9 +499,9 @@ class DecodeEngine:
             if req.params.logprobs or (
                     self.prefill_chunk is not None
                     and len(req.prompt) > self.prefill_chunk) or (
-                    self.ring_size is not None
+                    self.cache.ring
                     and _bucket(len(req.prompt), self.max_seq)
-                    > self.ring_size):
+                    > self.cache.max_seq):
                 self._admit_one(slot, req)
                 continue
             groups.setdefault(_bucket(len(req.prompt), self.max_seq),
@@ -640,12 +645,7 @@ class DecodeEngine:
             span, a_start = None, 0
         else:
             span = _span_bucket(start + c, self.max_seq)
-            w = self.config.sliding_window
-            fully = (w is not None
-                     and self.config.sliding_window_pattern is None
-                     and (self.config.sliding_window_layers is None
-                          or all(self.config.sliding_window_layers)))
-            a_start = max(0, (start - w) // 128 * 128) if fully else 0
+            a_start = self._win_start(start)
         x, self.cache = prefill_chunk_step(
             self.params, self.cache, jnp.asarray(toks), jnp.int32(slot),
             jnp.int32(start), jnp.int32(min(end, n)), self.config,
@@ -659,13 +659,22 @@ class DecodeEngine:
             req.prefilling = False
         return True
 
+    def _win_start(self, upto: int) -> int:
+        """Lower KV-read bound for a query at absolute position ``upto`` in
+        a fully-windowed model, bucketed at 1024 so the (start, span) static
+        pair stays a small compile set (ring_kv collapses it to ONE compile
+        and is the preferred mode; this is the non-ring fallback)."""
+        if not self._fully_windowed:
+            return 0
+        return max(0, (upto - self.config.sliding_window) // 1024 * 1024)
+
     def _attn_window(self, extra_steps: int = 0) -> "tuple[int, int]":
         """(attn_start, attn_span) for the next decode chunk.
 
         For fully-windowed models (every layer sliding — Mistral-class) the
-        KV read is bounded from below too: start = 128-bucketed
-        (shortest active position - window), so long-context decode streams
-        O(window) KV instead of O(context) (the mask would discard the
+        KV read is bounded from below too: start tracks (shortest active
+        position - window), so long-context decode streams O(window +
+        1024-bucket) KV instead of O(context) (the mask would discard the
         prefix anyway). Mixed-window models (Gemma2/Qwen2 per-layer splits)
         keep start=0 — their global layers need the full prefix."""
         if self.cache.ring:
@@ -673,18 +682,10 @@ class DecodeEngine:
             # meaningless (and would only multiply compiles)
             return 0, None
         span = self._attn_span(extra_steps)
-        w = self.config.sliding_window
-        fully = (w is not None
-                 and self.config.sliding_window_pattern is None
-                 and (self.config.sliding_window_layers is None
-                      or all(self.config.sliding_window_layers)))
-        if not fully:
-            return 0, span
         shortest = min((len(r.prompt) + len(r.generated)
                         for r in self.active.values() if not r.prefilling),
                        default=0)
-        start = max(0, (shortest - w) // 128 * 128)
-        return start, span
+        return self._win_start(shortest), span
 
     def _attn_span(self, extra_steps: int = 0) -> int:
         """Static attention-span bucket for the next decode chunk.
@@ -939,23 +940,33 @@ class DecodeEngine:
                     jnp.ones((r_pad,), jnp.int32), jax.random.PRNGKey(0),
                     gs, self.config)
         if self.prefill_chunk is not None:
-            # chunk steps at every span bucket a chunked admission reaches
+            # chunk steps at every (span, start) pair a chunked admission of
+            # the given prompt lengths reaches (ring engines have one)
             c = self.prefill_chunk
-            chunk_spans = sorted({_span_bucket(st + c, self.max_seq)
-                                  for b in buckets for st in range(0, b, c)})
-            for span in chunk_spans:
+            if self.cache.ring:
+                pairs = {(None, 0)}
+            else:
+                pairs = {(_span_bucket(st + c, self.max_seq),
+                          self._win_start(st))
+                         for b in buckets for st in range(0, b, c)}
+            for span, a_start in sorted(pairs,
+                                        key=lambda p: (p[0] or 0, p[1])):
                 x, scratch = prefill_chunk_step(
                     self.params, scratch, jnp.zeros((1, c), jnp.int32),
                     jnp.int32(0), jnp.int32(0), jnp.int32(1), self.config,
-                    attn_span=span)
+                    attn_span=span, attn_start=a_start)
             prefill_final_logits(self.params, x, jnp.int32(0), self.config)
         # warm the decode *chunk* serving actually dispatches (greedy static
         # variant), at every attention-span bucket the given prompt lengths
         # reach — span is a static argname, so each bucket is its own compile
         samp = SamplingArrays.build({}, self.max_batch)
-        spans = ([None] if self.cache.ring else
-                 sorted({_span_bucket(b + self.steps_per_sync, self.max_seq)
-                         for b in buckets} | {128}))
+        if self.cache.ring:
+            windows = [(0, None)]
+        else:
+            windows = sorted(
+                {(self._win_start(b),
+                  _span_bucket(b + self.steps_per_sync, self.max_seq))
+                 for b in buckets} | {(0, 128)})
         zero_toks = jnp.zeros((self.max_batch,), jnp.int32)
         all_active = jnp.ones((self.max_batch,), bool)
         mask = jnp.zeros((self.max_batch, self.config.vocab_size), bool)
@@ -968,7 +979,7 @@ class DecodeEngine:
             # the mesh chunk always threads the mask; single-device has a
             # distinct masked signature
             variants.append(dict(all_greedy=True, seen_mask=mask))
-        for span in spans:
+        for a_start, span in windows:
             for var in variants:
                 if self._tp_decode is not None:
                     toks_seq, _, scratch, *_ = self._tp_decode(
@@ -980,7 +991,7 @@ class DecodeEngine:
                         self.params, scratch, zero_toks, all_active,
                         jax.random.PRNGKey(0), samp, self.config,
                         n_steps=self.steps_per_sync,
-                        attn_span=span, **var)
+                        attn_span=span, attn_start=a_start, **var)
             jax.block_until_ready(toks_seq)
 
     # -- failure recovery: deterministic snapshot / restart ---------------

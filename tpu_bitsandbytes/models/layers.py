@@ -307,8 +307,10 @@ def _causal_mask(s, t, causal_offset, window=None, kpos_start=0,
             keep &= a > off - window
         return keep[:, None, None, :, :]
     if causal_offset is None:
+        assert kpos_start == 0, \
+            "kpos_start needs absolute query positions (pass causal_offset)"
         qpos = jnp.arange(s)[:, None]
-        kpos = kpos_start + jnp.arange(t)[None, :]
+        kpos = jnp.arange(t)[None, :]
         keep = kpos <= qpos
         if window is not None:
             keep &= kpos > qpos - window
