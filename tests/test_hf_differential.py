@@ -606,3 +606,71 @@ class TestQwen2SlidingWindowVsHF:
         tokens = rng.integers(0, config.vocab_size, (1, 24))
         ours, _ = _logits_ours(model.state_dict(), config, tokens)
         _agree(ours, _logits_hf(model, tokens), atol=2e-4)
+
+
+class TestQwen2MoeVsHF:
+    """Qwen2-MoE: sparse experts + a sigmoid-gated shared expert,
+    UN-renormalized top-k routing, qkv biases — plus per-layer
+    dense/sparse mixing via mlp_only_layers."""
+
+    @pytest.fixture(scope="class")
+    def hf_model(self):
+        torch.manual_seed(12)
+        config = transformers.Qwen2MoeConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=3, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rms_norm_eps=1e-6, rope_theta=10000.0,
+            num_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=48,
+            shared_expert_intermediate_size=80,
+            norm_topk_prob=False, decoder_sparse_step=1,
+            mlp_only_layers=[1],         # layer 1 is a plain dense MLP
+            tie_word_embeddings=False, attn_implementation="eager")
+        model = transformers.Qwen2MoeForCausalLM(config).float().eval()
+        return model, config
+
+    def test_config_mapping(self, hf_model):
+        _, config = hf_model
+        cfg = llama_config_from_hf(config)
+        assert cfg.num_experts == 4
+        assert cfg.moe_norm_topk is False
+        assert cfg.moe_intermediate_size == 48
+        assert cfg.moe_shared_expert_size == 80
+        assert cfg.attention_bias is True
+
+    def test_layer_mix_maps(self, hf_model):
+        model, config = hf_model
+        cfg = llama_config_from_hf(config)
+        params = llama_params_from_state_dict(model.state_dict(), cfg,
+                                              dtype=jnp.float32)
+        assert "moe" in params["layers"][0]
+        assert "shared_expert" in params["layers"][0]["moe"]
+        assert "moe" not in params["layers"][1]      # mlp_only layer
+        assert "gate_proj" in params["layers"][1]
+
+    def test_fp32_logits_match(self, hf_model, rng):
+        model, config = hf_model
+        tokens = rng.integers(0, config.vocab_size, (2, 12))
+        ours, _ = _logits_ours(model.state_dict(), config, tokens)
+        _agree(ours, _logits_hf(model, tokens), atol=3e-4)
+
+    def test_engine_decode_matches_hf_generate(self, hf_model, rng):
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        import dataclasses
+        model, config = hf_model
+        cfg = dataclasses.replace(llama_config_from_hf(config),
+                                  dtype=jnp.float32)
+        params = llama_params_from_state_dict(model.state_dict(), cfg,
+                                              dtype=jnp.float32)
+        prompt = list(map(int, rng.integers(0, config.vocab_size, 6)))
+        with torch.no_grad():
+            hf_out = model.generate(
+                torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
+                pad_token_id=0)
+        expect = hf_out[0, len(prompt):].tolist()
+        eng = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                           quantized_kv=False)
+        got = eng.generate([prompt],
+                           SamplingParams(max_new_tokens=8))[0]
+        assert got == expect

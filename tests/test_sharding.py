@@ -542,3 +542,47 @@ class TestMeshServingFeatures:
             assert len(by_uid[uid].logprobs) == len(out)
         # penalty actually engaged: no repeats under a strong penalty
         assert all(len(set(o)) == len(o) for o in got)
+
+
+class TestTPQwen2Moe:
+    def test_tp_shared_expert_decode_matches_single_device(self, rng):
+        cfg = llama.LlamaConfig(vocab_size=512, hidden_size=128,
+                                intermediate_size=256, num_layers=2,
+                                num_heads=4, num_kv_heads=4, max_seq_len=64,
+                                dtype=jnp.float32, num_experts=4,
+                                experts_per_token=2, moe_norm_topk=False,
+                                # K dims must divide tp*blocksize = 128 for
+                                # row-parallel absmax blocks
+                                moe_intermediate_size=128,
+                                moe_shared_expert_size=256)
+        params = llama.init_params(jax.random.PRNGKey(17), cfg,
+                                   dtype=jnp.float32)
+        qparams = llama.quantize_params(params, blocksize=32,
+                                        dtype=jnp.float32)
+        mesh = make_mesh(tp=4, dp=2)
+        sharded = shard_params(qparams, mesh)
+        se = sharded["layers"][0]["moe"]["shared_expert"]
+        assert se["gate_proj"].packed.sharding.spec == P("tp", None)
+        assert se["down_proj"].packed.sharding.spec == P(None, "tp")
+        assert (sharded["layers"][0]["moe"]["shared_gate"].sharding.spec
+                == P())
+        batch = 4
+        cache = KVCache.create(cfg.num_layers, batch, 32, cfg.num_kv_heads,
+                               cfg.hd, quantized=False, dtype=jnp.float32)
+        cache = jax.device_put(
+            cache, jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), kv_cache_spec(cache),
+                is_leaf=lambda x: isinstance(x, P)))
+        step = make_tp_decode_step(mesh, sharded, cfg, cache)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch,)),
+                             dtype=jnp.int32)
+        active = jnp.ones((batch,), bool)
+        logits_tp, _ = step(sharded, cache, tokens, active)
+
+        from tpu_bitsandbytes.engine import decode_step
+        cache_ref = KVCache.create(cfg.num_layers, batch, 32,
+                                   cfg.num_kv_heads, cfg.hd, quantized=False,
+                                   dtype=jnp.float32)
+        logits_ref, _ = decode_step(qparams, cache_ref, tokens, active, cfg)
+        np.testing.assert_allclose(np.asarray(logits_tp),
+                                   np.asarray(logits_ref), atol=2e-3)

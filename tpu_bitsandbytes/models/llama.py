@@ -79,10 +79,18 @@ class LlamaConfig:
     sliding_window_layers: Optional[Tuple[bool, ...]] = None
     # Mixtral-style sparse MoE MLP: num_experts > 0 replaces the dense
     # gate/up/down MLP with a router + per-expert SwiGLU experts;
-    # experts_per_token = top-k routing (softmax over all experts, top-k
-    # renormalized — the Mixtral convention).
+    # experts_per_token = top-k routing (softmax over all experts).
     num_experts: int = 0
     experts_per_token: int = 2
+    # Qwen2-MoE knobs: expert intermediate size (defaults to
+    # intermediate_size), whether top-k weights are renormalized (Mixtral
+    # True, Qwen2-MoE False), and a shared expert of its own intermediate
+    # size gated by sigmoid(shared_gate(x)). Dense-vs-sparse per layer is a
+    # property of the param tree (conversion maps HF mlp_only_layers /
+    # decoder_sparse_step directly).
+    moe_intermediate_size: Optional[int] = None
+    moe_norm_topk: bool = True
+    moe_shared_expert_size: Optional[int] = None
 
     @property
     def hd(self) -> int:
@@ -200,6 +208,18 @@ class LlamaConfig:
                            max_seq_len=32768, rope_theta=1000000.0,
                            num_experts=8, experts_per_token=2)
 
+    # Qwen2-MoE: Qwen2 trunk + sparse MoE with a sigmoid-gated shared
+    # expert and UN-renormalized top-k routing.
+    @staticmethod
+    def tiny_qwen2_moe() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=512, hidden_size=128,
+                           intermediate_size=256, num_layers=2, num_heads=4,
+                           num_kv_heads=2, max_seq_len=128,
+                           rope_theta=1000000.0, attention_bias=True,
+                           num_experts=4, experts_per_token=2,
+                           moe_intermediate_size=96, moe_norm_topk=False,
+                           moe_shared_expert_size=160)
+
     # Mistral family: Llama trunk + sliding-window attention.
     @staticmethod
     def tiny_mistral() -> "LlamaConfig":
@@ -259,22 +279,35 @@ def _moe_mlp(moe, x, config: LlamaConfig,
     probs = jax.nn.softmax(logits, axis=-1)
     k = config.experts_per_token
     topv, topi = jax.lax.top_k(probs, k)                # [B, S, k]
-    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if config.moe_norm_topk:            # Mixtral renormalizes; Qwen2-MoE not
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
     onehot = jax.nn.one_hot(topi, config.num_experts,
                             dtype=probs.dtype)          # [B, S, k, E]
     w = jnp.sum(topv[..., None] * onehot, axis=-2)      # [B, S, E]
     act = _act(config)
-    partial = None
-    for e, exp in enumerate(moe["experts"]):
+
+    def run_expert(exp):
         if "gateup_proj" in exp:        # fused layout (quantize_params)
             gate, up = jnp.split(linear_apply(wrap(exp["gateup_proj"]), x),
                                  2, axis=-1)
         else:
             gate = linear_apply(wrap(exp["gate_proj"]), x)
             up = linear_apply(wrap(exp["up_proj"]), x)
-        d = linear_apply(wrap(exp["down_proj"], row=True), act(gate) * up)
-        d = d * w[..., e:e + 1].astype(d.dtype)
+        return linear_apply(wrap(exp["down_proj"], row=True),
+                            act(gate) * up)
+
+    partial = None
+    for e, exp in enumerate(moe["experts"]):
+        d = run_expert(exp) * w[..., e:e + 1].astype(x.dtype)
         partial = d if partial is None else partial + d
+    if "shared_expert" in moe:          # Qwen2-MoE: sigmoid-gated dense path
+        g = jax.nn.sigmoid(
+            x.astype(jnp.float32)
+            @ moe["shared_gate"].T.astype(jnp.float32))  # [B, S, 1]
+        # g is computed from replicated x/gate, so it commutes with the
+        # row-parallel psum: scale the partial before the one reduction
+        partial = partial + run_expert(moe["shared_expert"]) * g.astype(
+            x.dtype)
     return reduce_fn(partial, None)     # experts carry no biases
 
 
@@ -365,16 +398,25 @@ def init_params(key: jax.Array, config: LlamaConfig,
             else:
                 layer[name] = w
         if config.num_experts > 0:
+            mi = config.moe_intermediate_size or config.intermediate_size
             rk = jax.random.split(jax.random.fold_in(keys[li], 7),
-                                  3 * config.num_experts + 1)
+                                  3 * config.num_experts + 5)
             layer["moe"] = {
                 "router": dense(rk[0], (config.num_experts, h)),
                 "experts": [
-                    {"gate_proj": dense(rk[1 + 3 * e], shapes["gate_proj"]),
-                     "up_proj": dense(rk[2 + 3 * e], shapes["up_proj"]),
-                     "down_proj": dense(rk[3 + 3 * e], shapes["down_proj"])}
+                    {"gate_proj": dense(rk[1 + 3 * e], (mi, h)),
+                     "up_proj": dense(rk[2 + 3 * e], (mi, h)),
+                     "down_proj": dense(rk[3 + 3 * e], (h, mi))}
                     for e in range(config.num_experts)],
             }
+            if config.moe_shared_expert_size:
+                si = config.moe_shared_expert_size
+                b0 = 3 * config.num_experts + 1
+                layer["moe"]["shared_expert"] = {
+                    "gate_proj": dense(rk[b0], (si, h)),
+                    "up_proj": dense(rk[b0 + 1], (si, h)),
+                    "down_proj": dense(rk[b0 + 2], (h, si))}
+                layer["moe"]["shared_gate"] = dense(rk[b0 + 3], (1, h))
         layer["input_norm"] = jnp.ones((h,), dtype)
         layer["post_attn_norm"] = jnp.ones((h,), dtype)
         if config.post_norms:
@@ -465,19 +507,21 @@ def quantize_params(params: Params, blocksize: int = 64,
     for layer in params["layers"]:
         ql = dict(layer)
         if "moe" in layer:
-            if fuse_projections:
-                experts = [{"gateup_proj": q_fused([exp["gate_proj"],
+            def q_exp(exp):
+                if fuse_projections:
+                    return {"gateup_proj": q_fused([exp["gate_proj"],
                                                     exp["up_proj"]]),
                             "down_proj": q(exp["down_proj"])}
-                           for exp in layer["moe"]["experts"]]
-            else:
-                experts = [{n: q(exp[n]) for n in
-                            ("gate_proj", "up_proj", "down_proj")}
-                           for exp in layer["moe"]["experts"]]
+                return {n: q(exp[n]) for n in
+                        ("gate_proj", "up_proj", "down_proj")}
             ql["moe"] = {
                 "router": layer["moe"]["router"],   # tiny; stays fp
-                "experts": experts,
+                "experts": [q_exp(e) for e in layer["moe"]["experts"]],
             }
+            if "shared_expert" in layer["moe"]:
+                ql["moe"]["shared_expert"] = q_exp(
+                    layer["moe"]["shared_expert"])
+                ql["moe"]["shared_gate"] = layer["moe"]["shared_gate"]
         if fuse_projections:
             for name in _LINEAR_NAMES:
                 ql.pop(name, None)

@@ -80,14 +80,20 @@ def llama_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
         for name, w in layer.items():
             if name == "moe":
                 # each expert shards like the dense MLP (gate/up columns,
-                # down rows); the tiny router is replicated
-                ls[name] = {
+                # down rows); the tiny router/shared gate are replicated
+                ms = {
                     "router": P(),
                     "experts": [
                         {k: _linear_spec(v, col=(k != "down_proj"))
                          for k, v in e.items()}
                         for e in w["experts"]],
                 }
+                if "shared_expert" in w:
+                    ms["shared_expert"] = {
+                        k: _linear_spec(v, col=(k != "down_proj"))
+                        for k, v in w["shared_expert"].items()}
+                    ms["shared_gate"] = P()
+                ls[name] = ms
             elif name in _COL:
                 ls[name] = _linear_spec(w, col=True)
             elif name in _ROW:

@@ -82,7 +82,9 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
         hidden_act = "gelu_pytorch_tanh"
     if gemma2 and sliding_window is None:
         sliding_window = get("sliding_window")
-    num_experts = get("num_local_experts") or 0
+    qwen2_moe = get("model_type") == "qwen2_moe"
+    num_experts = (get("num_experts") if qwen2_moe
+                   else get("num_local_experts")) or 0
     return llama.LlamaConfig(
         vocab_size=get("vocab_size"),
         hidden_size=get("hidden_size"),
@@ -116,6 +118,11 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
         sliding_window_layers=sliding_window_layers,
         num_experts=num_experts,
         experts_per_token=get("num_experts_per_tok", 2) or 2,
+        moe_intermediate_size=get("moe_intermediate_size"),
+        moe_norm_topk=bool(get("norm_topk_prob", True)
+                           if qwen2_moe else True),
+        moe_shared_expert_size=(get("shared_expert_intermediate_size")
+                                if qwen2_moe else None),
     )
 
 
@@ -198,7 +205,11 @@ def llama_params_from_state_dict(state_dict: Dict[str, Any],
             "post_attn_norm": jnp.asarray(
                 grab(p + "post_attention_layernorm.weight")).astype(dtype),
         })
-        if config.num_experts > 0:
+        if config.num_experts > 0 and (
+                f"model.layers.{li}.block_sparse_moe.gate.weight"
+                in state_dict
+                or f"layers.{li}.block_sparse_moe.gate.weight"
+                in state_dict):
             # Mixtral block_sparse_moe: w1=gate, w3=up, w2=down
             mp = p + "block_sparse_moe."
             entry["moe"] = {
@@ -209,6 +220,32 @@ def llama_params_from_state_dict(state_dict: Dict[str, Any],
                      "up_proj": lin(mp + f"experts.{e}.w3"),
                      "down_proj": lin(mp + f"experts.{e}.w2")}
                     for e in range(config.num_experts)],
+            }
+        elif config.num_experts > 0 and (
+                f"model.layers.{li}.mlp.experts.0.gate_proj.weight"
+                in state_dict
+                or f"layers.{li}.mlp.experts.0.gate_proj.weight"
+                in state_dict):
+            # Qwen2-MoE: mlp.gate router + mlp.experts.N + sigmoid-gated
+            # shared expert. Layers without expert keys (mlp_only_layers /
+            # decoder_sparse_step) fall through to the dense branch below —
+            # dense-vs-sparse is per layer in the param tree.
+            mp = p + "mlp."
+            entry["moe"] = {
+                "router": jnp.asarray(
+                    grab(mp + "gate.weight")).astype(jnp.float32),
+                "experts": [
+                    {"gate_proj": lin(mp + f"experts.{e}.gate_proj"),
+                     "up_proj": lin(mp + f"experts.{e}.up_proj"),
+                     "down_proj": lin(mp + f"experts.{e}.down_proj")}
+                    for e in range(config.num_experts)],
+                "shared_expert": {
+                    "gate_proj": lin(mp + "shared_expert.gate_proj"),
+                    "up_proj": lin(mp + "shared_expert.up_proj"),
+                    "down_proj": lin(mp + "shared_expert.down_proj")},
+                "shared_gate": jnp.asarray(
+                    grab(mp + "shared_expert_gate.weight")
+                    ).astype(jnp.float32),
             }
         elif (f"model.layers.{li}.mlp.gate_up_proj.weight" in state_dict
               or f"layers.{li}.mlp.gate_up_proj.weight" in state_dict):
