@@ -1055,3 +1055,19 @@ class TestRingKV:
         cfg, params = tiny_model
         with pytest.raises(ValueError):
             DecodeEngine(params, cfg, max_batch=1, max_seq=64, ring_kv=True)
+
+
+class TestPerRequestSampling:
+    def test_generate_with_sampling_list(self, tiny_model, rng):
+        cfg, params = tiny_model
+        prompts = [list(rng.integers(0, cfg.vocab_size, 5))
+                   for _ in range(2)]
+        sps = [SamplingParams(max_new_tokens=3),
+               SamplingParams(max_new_tokens=7)]
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                         quantized_kv=False)
+        outs = e.generate(prompts, sps)
+        assert len(outs[0]) == 3 and len(outs[1]) == 7
+        with pytest.raises(ValueError):
+            DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                         quantized_kv=False).generate(prompts, sps[:1])

@@ -1186,10 +1186,24 @@ class DecodeEngine:
                 self.key = chain_key
 
     # -- convenience ------------------------------------------------------
+    @staticmethod
+    def _per_request(sampling, n: int):
+        """One SamplingParams per prompt: a single instance broadcasts, a
+        sequence maps per request."""
+        if sampling is None or isinstance(sampling, SamplingParams):
+            return [sampling] * n
+        if len(sampling) != n:
+            raise ValueError(f"{len(sampling)} sampling params for "
+                             f"{n} prompts")
+        return list(sampling)
+
     def generate(self, prompts: List[List[int]],
-                 sampling: Optional[SamplingParams] = None,
+                 sampling=None,
                  pipeline_depth: int = 2) -> List[List[int]]:
-        uids = [self.add_request(p, sampling) for p in prompts]
+        """``sampling``: one SamplingParams for every prompt, or a sequence
+        with one per prompt (mixed greedy/sampled/penalized batches)."""
+        uids = [self.add_request(p, sp) for p, sp in
+                zip(prompts, self._per_request(sampling, len(prompts)))]
         if pipeline_depth > 1:
             self.run_pipelined(pipeline_depth)
         else:
@@ -1198,17 +1212,17 @@ class DecodeEngine:
         by_uid = {r.uid: r.generated for r in self.finished}
         return [by_uid[u] for u in uids]
 
-    def generate_stream(self, prompts: List[List[int]],
-                        sampling: Optional[SamplingParams] = None):
+    def generate_stream(self, prompts: List[List[int]], sampling=None):
         """Streaming generation: yields ``(uid, token, done)`` tuples in
         emission order as decode chunks complete (token-identical to
         :meth:`generate`; latency granularity is ``steps_per_sync`` steps).
         Returns the uids via StopIteration value when exhausted."""
         events: List[tuple] = []
         uids = [self.add_request(
-            p, sampling,
+            p, sp,
             on_token=lambda u, t, d: events.append((u, t, d)))
-            for p in prompts]
+            for p, sp in zip(prompts,
+                             self._per_request(sampling, len(prompts)))]
         while self.step():
             while events:
                 yield events.pop(0)
