@@ -674,3 +674,100 @@ class TestQwen2MoeVsHF:
         got = eng.generate([prompt],
                            SamplingParams(max_new_tokens=8))[0]
         assert got == expect
+
+
+class TestPhi2VsHF:
+    """Phi-2 architecture: LayerNorm, parallel attn+MLP sharing one norm,
+    partial rotary (0.5), non-gated gelu MLP with biases, biased lm_head."""
+
+    @pytest.fixture(scope="class")
+    def hf_model(self):
+        torch.manual_seed(14)
+        config = transformers.PhiConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=4, max_position_embeddings=64,
+            layer_norm_eps=1e-5, rope_theta=10000.0,
+            partial_rotary_factor=0.5, hidden_act="gelu_new",
+            tie_word_embeddings=False, attn_implementation="eager")
+        model = transformers.PhiForCausalLM(config).float().eval()
+        return model, config
+
+    def test_config_mapping(self, hf_model):
+        _, config = hf_model
+        cfg = llama_config_from_hf(config)
+        assert cfg.norm_type == "layernorm"
+        assert cfg.parallel_blocks and not cfg.gated_mlp
+        assert cfg.rope_partial_factor == 0.5
+        assert cfg.rotary_dim == 8
+
+    def test_fp32_logits_match(self, hf_model, rng):
+        model, config = hf_model
+        tokens = rng.integers(0, config.vocab_size, (2, 11))
+        ours, _ = _logits_ours(model.state_dict(), config, tokens)
+        _agree(ours, _logits_hf(model, tokens), atol=2e-4)
+
+    def test_engine_decode_matches_hf_generate(self, hf_model, rng):
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        import dataclasses
+        model, config = hf_model
+        cfg = dataclasses.replace(llama_config_from_hf(config),
+                                  dtype=jnp.float32)
+        params = llama_params_from_state_dict(model.state_dict(), cfg,
+                                              dtype=jnp.float32)
+        prompt = list(map(int, rng.integers(0, config.vocab_size, 5)))
+        with torch.no_grad():
+            hf_out = model.generate(
+                torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
+                pad_token_id=0)
+        expect = hf_out[0, len(prompt):].tolist()
+        eng = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                           quantized_kv=False)
+        got = eng.generate([prompt], SamplingParams(max_new_tokens=8))[0]
+        assert got == expect
+
+
+class TestStableLMVsHF:
+    """StableLM-2: Llama trunk + LayerNorm + partial rotary (0.25)."""
+
+    @pytest.fixture(scope="class")
+    def hf_model(self):
+        torch.manual_seed(15)
+        config = transformers.StableLmConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=112,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            layer_norm_eps=1e-5, rope_theta=10000.0,
+            partial_rotary_factor=0.25, use_qkv_bias=True,
+            tie_word_embeddings=False, attn_implementation="eager")
+        model = transformers.StableLmForCausalLM(config).float().eval()
+        return model, config
+
+    def test_fp32_logits_match(self, hf_model, rng):
+        model, config = hf_model
+        cfg = llama_config_from_hf(config)
+        assert cfg.norm_type == "layernorm"
+        assert not cfg.parallel_blocks and cfg.gated_mlp
+        assert cfg.rope_partial_factor == 0.25
+        tokens = rng.integers(0, config.vocab_size, (2, 12))
+        ours, _ = _logits_ours(model.state_dict(), config, tokens)
+        _agree(ours, _logits_hf(model, tokens), atol=2e-4)
+
+    def test_engine_decode_matches_hf_generate(self, hf_model, rng):
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        import dataclasses
+        model, config = hf_model
+        cfg = dataclasses.replace(llama_config_from_hf(config),
+                                  dtype=jnp.float32)
+        params = llama_params_from_state_dict(model.state_dict(), cfg,
+                                              dtype=jnp.float32)
+        prompt = list(map(int, rng.integers(0, config.vocab_size, 6)))
+        with torch.no_grad():
+            hf_out = model.generate(
+                torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
+                pad_token_id=0)
+        expect = hf_out[0, len(prompt):].tolist()
+        eng = DecodeEngine(params, cfg, max_batch=1, max_seq=64,
+                           quantized_kv=False)
+        got = eng.generate([prompt], SamplingParams(max_new_tokens=8))[0]
+        assert got == expect

@@ -45,8 +45,7 @@ def _decode_step_impl(params, cache: KVCache, tokens, active,
             n_heads=config.num_heads, n_kv=config.num_kv_heads,
             attn_span=attn_span, attn_start=attn_start)
 
-    x = rms_norm(x, params["final_norm"], config.rms_eps,
-                 config.rms_weight_offset)
+    x = llama._norm(x, params["final_norm"], config)
     logits = llama.head_logits(params, x[:, 0], config)
     cache = dataclasses.replace(
         cache, lengths=cache.lengths + active.astype(jnp.int32))
@@ -249,8 +248,7 @@ def prefill_final_logits(params, x: jnp.ndarray, idx: jnp.ndarray,
     xl = jnp.take_along_axis(
         x, jnp.broadcast_to(idx[None, None, None], (1, 1, x.shape[-1])),
         axis=1)[:, 0]                                   # [1, H]
-    xl = rms_norm(xl, params["final_norm"], config.rms_eps,
-                  config.rms_weight_offset)
+    xl = llama._norm(xl, params["final_norm"], config)
     return llama.head_logits(params, xl, config)[0]
 
 

@@ -119,8 +119,7 @@ def _verify_impl(params, cache: KVCache, tokens, active, key, samp,
             layer, x, cos, sin, positions, cache, li, config,
             n_heads=config.num_heads, n_kv=config.num_kv_heads,
             attn_span=attn_span)
-    x = rms_norm(x, params["final_norm"], config.rms_eps,
-                 config.rms_weight_offset)
+    x = llama._norm(x, params["final_norm"], config)
     logits = llama.head_logits(params, x, config)            # [B, G1, V]
     emitted, n_acc = accept_and_emit(logits, tokens, key, samp)
     counts = jnp.where(active, n_acc + 1, 0).astype(jnp.int32)

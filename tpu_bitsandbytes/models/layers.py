@@ -269,14 +269,21 @@ def rope_table(head_dim: int, max_seq: int, theta: float = 10000.0,
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
-    """x [..., S, H, D]; cos/sin [S, D/2] (gathered for the right positions)."""
-    d2 = x.shape[-1] // 2
-    x1 = x[..., :d2]
-    x2 = x[..., d2:]
-    # cos/sin broadcast over head dim: [..., S, 1, D/2]
+    """x [..., S, H, D]; cos/sin [S, R/2] (gathered for the right
+    positions). R = 2 * cos.shape[-1] is the rotary dim: R < D is partial
+    rotary (Phi/StableLM/NeoX) — the trailing D-R dims pass through."""
+    rd = 2 * cos.shape[-1]
+    rot, rest = x[..., :rd], x[..., rd:]
+    d2 = rd // 2
+    x1 = rot[..., :d2]
+    x2 = rot[..., d2:]
+    # cos/sin broadcast over head dim: [..., S, 1, R/2]
     c = cos[..., :, None, :].astype(x.dtype)
     s = sin[..., :, None, :].astype(x.dtype)
-    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    if rest.shape[-1]:
+        out = jnp.concatenate([out, rest], axis=-1)
+    return out
 
 
 # --- attention --------------------------------------------------------------

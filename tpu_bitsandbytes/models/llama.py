@@ -91,10 +91,23 @@ class LlamaConfig:
     moe_intermediate_size: Optional[int] = None
     moe_norm_topk: bool = True
     moe_shared_expert_size: Optional[int] = None
+    # Phi/StableLM/NeoX-style knobs: LayerNorm (weight+bias dict leaves)
+    # instead of RMSNorm; parallel residual (attention and MLP both read
+    # the SAME input_norm output: x = x + attn(h) + mlp(h)); non-gated MLP
+    # (up -> act -> down, no gate); partial rotary (rope on the first
+    # head_dim * rope_partial_factor dims only).
+    norm_type: str = "rms"
+    parallel_blocks: bool = False
+    gated_mlp: bool = True
+    rope_partial_factor: float = 1.0
 
     @property
     def hd(self) -> int:
         return self.head_dim or self.hidden_size // self.num_heads
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.hd * self.rope_partial_factor)
 
     # ---- canned sizes ---------------------------------------------------
     @staticmethod
@@ -220,6 +233,25 @@ class LlamaConfig:
                            moe_intermediate_size=96, moe_norm_topk=False,
                            moe_shared_expert_size=160)
 
+    # Phi-2: LayerNorm, parallel attn+MLP sharing one norm, partial
+    # rotary, non-gated gelu MLP, biases everywhere (incl. lm_head).
+    @staticmethod
+    def tiny_phi2() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=512, hidden_size=128,
+                           intermediate_size=512, num_layers=2, num_heads=4,
+                           num_kv_heads=4, max_seq_len=128,
+                           norm_type="layernorm", parallel_blocks=True,
+                           gated_mlp=False, hidden_act="gelu_tanh",
+                           rope_partial_factor=0.5, attention_bias=True)
+
+    # StableLM-2: Llama trunk + LayerNorm + partial rotary.
+    @staticmethod
+    def tiny_stablelm() -> "LlamaConfig":
+        return LlamaConfig(vocab_size=512, hidden_size=128,
+                           intermediate_size=256, num_layers=2, num_heads=4,
+                           num_kv_heads=2, max_seq_len=128,
+                           norm_type="layernorm", rope_partial_factor=0.25)
+
     # Mistral family: Llama trunk + sliding-window attention.
     @staticmethod
     def tiny_mistral() -> "LlamaConfig":
@@ -247,6 +279,15 @@ class LlamaConfig:
 
 _LINEAR_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
                  "gate_proj", "up_proj", "down_proj")
+
+
+def _norm(x, leaf, config: LlamaConfig):
+    """Config-dispatched normalization: RMSNorm over a weight-array leaf, or
+    LayerNorm over a {'w','b'} dict leaf (Phi/StableLM)."""
+    from .layers import layer_norm
+    if config.norm_type == "layernorm":
+        return layer_norm(x, leaf["w"], leaf["b"], config.rms_eps)
+    return rms_norm(x, leaf, config.rms_eps, config.rms_weight_offset)
 
 
 def _act(config: LlamaConfig):
@@ -382,6 +423,11 @@ def init_params(key: jax.Array, config: LlamaConfig,
         return (jax.random.normal(k, shape, jnp.float32)
                 * (0.02)).astype(dtype)
 
+    def norm_leaf():
+        if config.norm_type == "layernorm":
+            return {"w": jnp.ones((h,), dtype), "b": jnp.zeros((h,), dtype)}
+        return jnp.ones((h,), dtype)
+
     layers = []
     biased = ("q_proj", "k_proj", "v_proj") if config.attention_bias else ()
     mlp_names = ("gate_proj", "up_proj", "down_proj")
@@ -391,6 +437,8 @@ def init_params(key: jax.Array, config: LlamaConfig,
         for i, name in enumerate(_LINEAR_NAMES):
             if config.num_experts > 0 and name in mlp_names:
                 continue            # replaced by the MoE block below
+            if not config.gated_mlp and name == "gate_proj":
+                continue            # non-gated MLP has no gate
             w = dense(lk[i], shapes[name])
             if name in biased:
                 b = dense(lk[len(_LINEAR_NAMES) + i], shapes[name][:1])
@@ -417,8 +465,9 @@ def init_params(key: jax.Array, config: LlamaConfig,
                     "up_proj": dense(rk[b0 + 1], (si, h)),
                     "down_proj": dense(rk[b0 + 2], (h, si))}
                 layer["moe"]["shared_gate"] = dense(rk[b0 + 3], (1, h))
-        layer["input_norm"] = jnp.ones((h,), dtype)
-        layer["post_attn_norm"] = jnp.ones((h,), dtype)
+        layer["input_norm"] = norm_leaf()
+        if not config.parallel_blocks:
+            layer["post_attn_norm"] = norm_leaf()
         if config.post_norms:
             layer["pre_ffn_norm"] = jnp.ones((h,), dtype)
             layer["post_ffn_norm"] = jnp.ones((h,), dtype)
@@ -426,7 +475,7 @@ def init_params(key: jax.Array, config: LlamaConfig,
     params = {
         "embed": dense(keys[-2], (config.vocab_size, h)),
         "layers": layers,
-        "final_norm": jnp.ones((h,), dtype),
+        "final_norm": norm_leaf(),
     }
     if not config.tie_embeddings:
         params["lm_head"] = dense(keys[-1], (config.vocab_size, h))
@@ -527,9 +576,12 @@ def quantize_params(params: Params, blocksize: int = 64,
                 ql.pop(name, None)
             ql["qkv_proj"] = q_fused(
                 [layer["q_proj"], layer["k_proj"], layer["v_proj"]])
-            if "moe" not in layer:
+            if "moe" not in layer and "gate_proj" in layer:
                 ql["gateup_proj"] = q_fused(
                     [layer["gate_proj"], layer["up_proj"]])
+                ql["down_proj"] = q(layer["down_proj"])
+            elif "moe" not in layer:        # non-gated MLP: nothing to fuse
+                ql["up_proj"] = q(layer["up_proj"])
                 ql["down_proj"] = q(layer["down_proj"])
             ql["o_proj"] = q(layer["o_proj"])
         else:
@@ -538,9 +590,10 @@ def quantize_params(params: Params, blocksize: int = 64,
                     ql[name] = q(layer[name])
         out["layers"].append(ql)
     if "lm_head" in params:
+        hw, hb = wb(params["lm_head"])
         out["lm_head"] = QLinear4.quantize(
-            params["lm_head"].astype(jnp.float32), blocksize=blocksize,
-            quant_type=quant_type, dtype=dtype,
+            hw.astype(jnp.float32), blocksize=blocksize,
+            quant_type=quant_type, dtype=dtype, bias=hb,
             compress_statistics=compress_statistics)
     return out
 
@@ -611,6 +664,9 @@ def _attention_block(layer, x, cos, sin, config: LlamaConfig, cache_kv=None,
 def _mlp_block(layer, x, config: LlamaConfig):
     if "moe" in layer:
         return _moe_mlp(layer["moe"], x, config)
+    if not config.gated_mlp:        # Phi: up -> act -> down
+        return linear_apply(layer["down_proj"],
+                            _act(config)(linear_apply(layer["up_proj"], x)))
     if "gateup_proj" in layer:
         gate, up = jnp.split(linear_apply(layer["gateup_proj"], x), 2,
                              axis=-1)
@@ -633,8 +689,7 @@ def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
     """
     b, s, _ = x.shape
     hd = config.hd
-    h = rms_norm(x, layer["input_norm"], config.rms_eps,
-                 config.rms_weight_offset)
+    h = _norm(x, layer["input_norm"], config)
     if "qkv_proj" in layer:
         qkv = linear_apply(wrap(layer["qkv_proj"]), h)
         q, k, v = jnp.split(qkv, [n_heads * hd, (n_heads + n_kv) * hd],
@@ -656,11 +711,17 @@ def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
     o_full = reduce_fn(o, layer["o_proj"])
     if config.post_norms:
         o_full = rms_norm(o_full, layer["post_attn_norm"], eps, off)
-    x = x + o_full
-    h = rms_norm(x, layer["pre_ffn_norm" if config.post_norms
-                 else "post_attn_norm"], eps, off)
+    if not config.parallel_blocks:
+        x = x + o_full
+        h = _norm(x, layer["pre_ffn_norm" if config.post_norms
+                  else "post_attn_norm"], config)
     if "moe" in layer:
         d_full = _moe_mlp(layer["moe"], h, config, wrap, reduce_fn)
+    elif not config.gated_mlp:
+        d = linear_apply(wrap(layer["down_proj"], row=True),
+                         _act(config)(linear_apply(wrap(layer["up_proj"]),
+                                                   h)))
+        d_full = reduce_fn(d, layer["down_proj"])
     else:
         if "gateup_proj" in layer:
             gate, up = jnp.split(linear_apply(wrap(layer["gateup_proj"]), h),
@@ -673,6 +734,8 @@ def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
         d_full = reduce_fn(d, layer["down_proj"])
     if config.post_norms:
         d_full = rms_norm(d_full, layer["post_ffn_norm"], eps, off)
+    if config.parallel_blocks:      # Phi: x + attn(h) + mlp(h)
+        return x + o_full + d_full, (k, v)
     x = x + d_full
     return x, (k, v)
 
@@ -697,7 +760,7 @@ def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
     b, s = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
-    cos_full, sin_full = rope_table(config.hd, config.max_seq_len,
+    cos_full, sin_full = rope_table(config.rotary_dim, config.max_seq_len,
                                     config.rope_theta, config.rope_scaling)
     cos = jnp.take(cos_full, positions, axis=0)  # [B, S, D/2]
     sin = jnp.take(sin_full, positions, axis=0)
@@ -707,14 +770,16 @@ def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
     new_kv = []
 
     def layer_fn(layer, x, cos, sin, cache_kv, li):
-        h = rms_norm(x, layer["input_norm"], eps, off)
+        h = _norm(x, layer["input_norm"], config)
         attn, kv = _attention_block(layer, h, cos, sin, config, cache_kv,
                                     li=li)
+        if config.parallel_blocks:  # Phi: attn and MLP both read h
+            return x + attn + _mlp_block(layer, h, config), kv
         if config.post_norms:       # Gemma2 sandwich: norm the block OUTPUT
             attn = rms_norm(attn, layer["post_attn_norm"], eps, off)
         x = x + attn
-        h = rms_norm(x, layer["pre_ffn_norm" if config.post_norms
-                     else "post_attn_norm"], eps, off)
+        h = _norm(x, layer["pre_ffn_norm" if config.post_norms
+                  else "post_attn_norm"], config)
         m = _mlp_block(layer, h, config)
         if config.post_norms:
             m = rms_norm(m, layer["post_ffn_norm"], eps, off)
@@ -727,7 +792,7 @@ def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
         x, kv = blk(layer, x, cos, sin)
         if return_kv:
             new_kv.append(kv)
-    x = rms_norm(x, params["final_norm"], eps, off)
+    x = _norm(x, params["final_norm"], config)
     logits = head_logits(params, x, config)
     if return_kv:
         return logits, new_kv
@@ -760,8 +825,7 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
     b, s, _ = x.shape
     pos2d = positions if positions.ndim == 2 else positions[:, None]
     hd = config.hd
-    h = rms_norm(x, layer["input_norm"], config.rms_eps,
-                 config.rms_weight_offset)
+    h = _norm(x, layer["input_norm"], config)
     if "qkv_proj" in layer:
         qkv = linear_apply(wrap(layer["qkv_proj"]), h)
         q, k, v = jnp.split(qkv, [n_heads * hd, (n_heads + n_kv) * hd],
@@ -819,11 +883,17 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
     o_full = reduce_fn(o, layer["o_proj"])
     if config.post_norms:
         o_full = rms_norm(o_full, layer["post_attn_norm"], eps, off)
-    x = x + o_full
-    h = rms_norm(x, layer["pre_ffn_norm" if config.post_norms
-                 else "post_attn_norm"], eps, off)
+    if not config.parallel_blocks:
+        x = x + o_full
+        h = _norm(x, layer["pre_ffn_norm" if config.post_norms
+                  else "post_attn_norm"], config)
     if "moe" in layer:
         d_full = _moe_mlp(layer["moe"], h, config, wrap, reduce_fn)
+    elif not config.gated_mlp:
+        d = linear_apply(wrap(layer["down_proj"], row=True),
+                         _act(config)(linear_apply(wrap(layer["up_proj"]),
+                                                   h)))
+        d_full = reduce_fn(d, layer["down_proj"])
     else:
         if "gateup_proj" in layer:
             gateup = linear_apply(wrap(layer["gateup_proj"]), h)
@@ -836,6 +906,8 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
         d_full = reduce_fn(d, layer["down_proj"])
     if config.post_norms:
         d_full = rms_norm(d_full, layer["post_ffn_norm"], eps, off)
+    if config.parallel_blocks:      # Phi: x + attn(h) + mlp(h)
+        return x + o_full + d_full, cache
     x = x + d_full
     return x, cache
 
@@ -848,7 +920,7 @@ def decode_embed_and_rope(params, tokens, positions, config: LlamaConfig):
     """
     tok2d = tokens if tokens.ndim == 2 else tokens[:, None]
     pos2d = positions if positions.ndim == 2 else positions[:, None]
-    cos_full, sin_full = rope_table(config.hd, config.max_seq_len,
+    cos_full, sin_full = rope_table(config.rotary_dim, config.max_seq_len,
                                     config.rope_theta, config.rope_scaling)
     cos = jnp.take(cos_full, pos2d, axis=0)
     sin = jnp.take(sin_full, pos2d, axis=0)

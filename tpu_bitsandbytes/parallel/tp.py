@@ -89,8 +89,7 @@ def _tp_decode_impl(params, cache: KVCache, tokens, active,
             n_heads=n_heads, n_kv=n_kv, wrap=wrap, reduce_fn=reduce_fn,
             attn_span=attn_span)
 
-    x = rms_norm(x, params["final_norm"], config.rms_eps,
-                 config.rms_weight_offset)
+    x = llama._norm(x, params["final_norm"], config)
     head = params.get("lm_head", None)
     if head is None:
         logits = x[:, 0] @ params["embed"].T.astype(x.dtype)
@@ -201,8 +200,7 @@ def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
         cache, lengths=cache.lengths.at[local_slot].set(
             jnp.where(own, true_len, cur)))
 
-    x = rms_norm(x, params["final_norm"], config.rms_eps,
-                 config.rms_weight_offset)
+    x = llama._norm(x, params["final_norm"], config)
     # last real token only: [1, H] through the head instead of all S_pad rows
     x_last = jnp.take_along_axis(
         x[0], (true_len - 1)[None, None], axis=0)

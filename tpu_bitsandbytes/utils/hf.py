@@ -37,7 +37,8 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
     if attention_bias is None:
         # Qwen2's HF config has no attention_bias field — the family always
         # carries q/k/v biases.
-        attention_bias = get("model_type") in ("qwen2", "qwen2_moe")
+        attention_bias = get("model_type") in ("qwen2", "qwen2_moe",
+                                               "phi")
     # Mistral-style sliding window. Qwen2 configs carry a sliding_window
     # value but gate it behind use_sliding_window (default False); when
     # enabled, only layers >= max_window_layers are windowed — transformers
@@ -82,6 +83,8 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
         hidden_act = "gelu_pytorch_tanh"
     if gemma2 and sliding_window is None:
         sliding_window = get("sliding_window")
+    phi = get("model_type") == "phi"
+    stablelm = get("model_type") == "stablelm"
     qwen2_moe = get("model_type") == "qwen2_moe"
     num_experts = (get("num_experts") if qwen2_moe
                    else get("num_local_experts")) or 0
@@ -95,7 +98,7 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
                          get("num_attention_heads")),
         head_dim=get("head_dim"),
         rope_theta=get("rope_theta", 10000.0),
-        rms_eps=get("rms_norm_eps", 1e-5),
+        rms_eps=(get("layer_norm_eps") or get("rms_norm_eps") or 1e-5),
         max_seq_len=get("max_position_embeddings", 2048),
         tie_embeddings=bool(get("tie_word_embeddings", False) or gemma),
         attention_bias=bool(attention_bias),
@@ -104,6 +107,7 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
         hidden_act=("silu" if hidden_act == "silu" else
                     {"gelu_pytorch_tanh": "gelu_tanh",
                      "gelu_tanh": "gelu_tanh",
+                     "gelu_new": "gelu_tanh",    # tanh approximation
                      "gelu": "gelu"}[hidden_act]),
         rms_weight_offset=1.0 if gemma else 0.0,
         scale_embeddings=gemma,
@@ -123,6 +127,10 @@ def llama_config_from_hf(hf_config) -> llama.LlamaConfig:
                            if qwen2_moe else True),
         moe_shared_expert_size=(get("shared_expert_intermediate_size")
                                 if qwen2_moe else None),
+        norm_type="layernorm" if (phi or stablelm) else "rms",
+        parallel_blocks=phi,
+        gated_mlp=not phi,
+        rope_partial_factor=float(get("partial_rotary_factor", 1.0) or 1.0),
     )
 
 
@@ -165,6 +173,15 @@ def llama_params_from_state_dict(state_dict: Dict[str, Any],
         w = w.astype(dtype)
         return w if b is None else {"w": w, "b": b}
 
+    def norm(name):
+        """Norm leaf: {'w','b'} dict for LayerNorm models, plain weight
+        array for RMSNorm models."""
+        w = jnp.asarray(grab(name + ".weight")).astype(dtype)
+        if config.norm_type == "layernorm":
+            return {"w": w,
+                    "b": jnp.asarray(grab(name + ".bias")).astype(dtype)}
+        return w
+
     def lin_split(name, sizes, parts):
         """Split a checkpoint-fused weight (Phi-3 qkv_proj / gate_up_proj)
         into separate leaves along dim 0, quantizing each part."""
@@ -198,13 +215,17 @@ def llama_params_from_state_dict(state_dict: Dict[str, Any],
                 "k_proj": lin(p + "self_attn.k_proj"),
                 "v_proj": lin(p + "self_attn.v_proj"),
             }
-        entry.update({
-            "o_proj": lin(p + "self_attn.o_proj"),
-            "input_norm": jnp.asarray(
-                grab(p + "input_layernorm.weight")).astype(dtype),
-            "post_attn_norm": jnp.asarray(
-                grab(p + "post_attention_layernorm.weight")).astype(dtype),
-        })
+        if config.parallel_blocks:      # Phi: dense attn, one shared norm
+            entry.update({
+                "o_proj": lin(p + "self_attn.dense"),
+                "input_norm": norm(p + "input_layernorm"),
+            })
+        else:
+            entry.update({
+                "o_proj": lin(p + "self_attn.o_proj"),
+                "input_norm": norm(p + "input_layernorm"),
+                "post_attn_norm": norm(p + "post_attention_layernorm"),
+            })
         if config.num_experts > 0 and (
                 f"model.layers.{li}.block_sparse_moe.gate.weight"
                 in state_dict
@@ -254,6 +275,9 @@ def llama_params_from_state_dict(state_dict: Dict[str, Any],
                                     config.intermediate_size],
                                    ["gate_proj", "up_proj"]))
             entry["down_proj"] = lin(p + "mlp.down_proj")
+        elif not config.gated_mlp:      # Phi: fc1/fc2
+            entry["up_proj"] = lin(p + "mlp.fc1")
+            entry["down_proj"] = lin(p + "mlp.fc2")
         else:
             entry["gate_proj"] = lin(p + "mlp.gate_proj")
             entry["up_proj"] = lin(p + "mlp.up_proj")
@@ -267,8 +291,11 @@ def llama_params_from_state_dict(state_dict: Dict[str, Any],
     params = {
         "embed": jnp.asarray(grab("embed_tokens.weight")).astype(dtype),
         "layers": layers,
-        "final_norm": jnp.asarray(grab("norm.weight")).astype(dtype),
     }
+    try:
+        params["final_norm"] = norm("norm")
+    except KeyError:
+        params["final_norm"] = norm("final_layernorm")      # Phi
     if not config.tie_embeddings:
         try:
             params["lm_head"] = lin("lm_head")
