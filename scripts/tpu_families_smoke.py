@@ -69,6 +69,10 @@ def main():
     family_decode("mistral", llama.LlamaConfig.tiny_mistral(), rng)
     family_decode("gemma", llama.LlamaConfig.tiny_gemma(), rng)
     family_decode("gemma2", llama.LlamaConfig.tiny_gemma2(), rng)
+    family_decode("mixtral", llama.LlamaConfig.tiny_mixtral(), rng)
+    family_decode("qwen2moe", llama.LlamaConfig.tiny_qwen2_moe(), rng)
+    family_decode("phi2", llama.LlamaConfig.tiny_phi2(), rng)
+    family_decode("stablelm", llama.LlamaConfig.tiny_stablelm(), rng)
 
     # batched admission == sequential (compiled path)
     cfg = llama.LlamaConfig.tiny()
