@@ -317,9 +317,32 @@ def main():
         return (cache, jnp.zeros((args.batch,), jnp.int32),
                 jnp.ones((args.batch,), bool), jax.random.PRNGKey(0))
 
-    bpt = bytes_per_token(params, config, fresh_state()[0],
+    cache0 = fresh_state()[0]
+    bpt = bytes_per_token(params, config, cache0,
                           batch=args.batch, attn_span=span)
     attn_label = "ring" if args.ring_kv else f"span {span}"
+
+    # HBM budget table (VERDICT r2 #7): packed + exec cache + KV + acts
+    from tpu_bitsandbytes.utils.metrics import (
+        param_footprint, serving_act_bytes, format_footprint, CHIP_SPECS,
+        detect_chip)
+    fp = param_footprint(params)
+    fp["kv"] = sum(a.size * a.dtype.itemsize
+                   for a in (cache0.k, cache0.v, cache0.k_scale,
+                             cache0.v_scale) if a is not None)
+    fp["activations_est"] = serving_act_bytes(config, args.batch,
+                                              args.context,
+                                              args.chunk_steps)
+    fp["total"] = (fp["packed"] + fp["exec_cache"] + fp["fp"] + fp["kv"]
+                   + fp["activations_est"])
+    fp["budget"] = CHIP_SPECS[detect_chip()]["hbm_gib"] * 1024 ** 3
+    fp["fits"] = fp["total"] <= 0.92 * fp["budget"]
+    print(format_footprint(fp), file=sys.stderr)
+    if not fp["fits"] and not args.drop_packed:
+        print("note: over budget while retaining packed NF4 — rerun with "
+              "--drop-packed (DecodeEngine does this automatically, "
+              "drop_packed='auto')", file=sys.stderr)
+    del cache0
 
     def chunk(cache, tokens, active, key):
         """One engine dispatch: chunk_steps greedy decode steps in one jit

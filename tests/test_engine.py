@@ -1071,3 +1071,168 @@ class TestPerRequestSampling:
         with pytest.raises(ValueError):
             DecodeEngine(params, cfg, max_batch=2, max_seq=64,
                          quantized_kv=False).generate(prompts, sps[:1])
+
+
+class TestHBMFootprint:
+    """VERDICT r2 #7: serving-mode HBM budget accounting — the engine
+    reports a per-chip footprint table and drop_packed="auto" frees the
+    packed NF4 codes when retaining them would blow the budget."""
+
+    def test_footprint_reports_categories(self, tiny_model):
+        cfg, params = tiny_model
+        qp = llama.quantize_params(params, blocksize=32, dtype=jnp.float32)
+        e = DecodeEngine(qp, cfg, max_batch=2, max_seq=64,
+                         runtime_cache="int8")
+        fp = e.footprint()
+        assert fp["packed"] > 0          # tiny model fits: codes retained
+        assert fp["exec_cache"] > 0
+        assert fp["kv"] > 0 and fp["fp"] > 0
+        assert fp["total"] == (fp["packed"] + fp["exec_cache"] + fp["fp"]
+                               + fp["kv"] + fp["activations_est"])
+        assert fp["fits"]
+        from tpu_bitsandbytes.utils.metrics import format_footprint
+        txt = format_footprint(fp)
+        assert "exec_cache" in txt and "fits" in txt
+
+    def test_auto_drop_over_budget(self, tiny_model, monkeypatch):
+        """Force a microscopic HBM budget: auto must drop the packed codes
+        (with a warning) and the footprint must reflect it."""
+        from tpu_bitsandbytes.utils import metrics
+        cfg, params = tiny_model
+        qp = llama.quantize_params(params, blocksize=32, dtype=jnp.float32)
+        monkeypatch.setitem(metrics.CHIP_SPECS, "fake",
+                            {"hbm_gbps": 819, "bf16_tflops": 197,
+                             "int8_tops": 394, "hbm_gib": 1e-6})
+        monkeypatch.setattr(metrics, "detect_chip", lambda: "fake")
+        with pytest.warns(UserWarning, match="dropping packed"):
+            e = DecodeEngine(qp, cfg, max_batch=2, max_seq=64,
+                             runtime_cache="int8")
+        assert e.params["layers"][0]["q_proj"].packed is None
+        fp = e.footprint()
+        assert fp["packed"] == 0 and fp["exec_cache"] > 0
+        assert not fp["fits"]
+
+    def test_forced_retain_overrides_auto(self, tiny_model, monkeypatch):
+        from tpu_bitsandbytes.utils import metrics
+        cfg, params = tiny_model
+        qp = llama.quantize_params(params, blocksize=32, dtype=jnp.float32)
+        monkeypatch.setitem(metrics.CHIP_SPECS, "fake",
+                            {"hbm_gbps": 819, "bf16_tflops": 197,
+                             "int8_tops": 394, "hbm_gib": 1e-6})
+        monkeypatch.setattr(metrics, "detect_chip", lambda: "fake")
+        e = DecodeEngine(qp, cfg, max_batch=2, max_seq=64,
+                         runtime_cache="int8", drop_packed=False)
+        assert e.params["layers"][0]["q_proj"].packed is not None
+
+    def test_footprint_without_cache(self, tiny_model):
+        """No runtime cache: exec_cache is zero, packed codes dominate."""
+        cfg, params = tiny_model
+        qp = llama.quantize_params(params, blocksize=32, dtype=jnp.float32)
+        e = DecodeEngine(qp, cfg, max_batch=2, max_seq=64)
+        fp = e.footprint()
+        assert fp["exec_cache"] == 0 and fp["packed"] > 0
+
+    def test_mesh_footprint_divides_shards(self, tiny_model):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from tpu_bitsandbytes.parallel import make_mesh
+        cfg, params = tiny_model
+        qp = llama.quantize_params(params, blocksize=32, dtype=jnp.float32)
+        single = DecodeEngine(qp, cfg, max_batch=2, max_seq=64).footprint()
+        mesh = make_mesh(tp=2, dp=2)
+        multi = DecodeEngine(qp, cfg, max_batch=2, max_seq=64,
+                             mesh=mesh).footprint()
+        assert multi["packed"] == single["packed"] // 2
+        assert multi["kv"] == single["kv"] // 4
+
+
+class TestWarmupPlan:
+    """VERDICT r2 #8: warmup compile-set growth must be bounded and the
+    bound asserted. warmup_plan() is the exact compile set; chunk spans
+    bucket geometrically above 2048 so long-context chunked engines stay
+    at tens, not hundreds, of compiles."""
+
+    def test_chunk_pairs_bounded_at_8k(self, tiny_model):
+        cfg, params = tiny_model
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=8192,
+                         quantized_kv=False, prefill_chunk=512)
+        plan = e.warmup_plan(prompt_lengths=[8191])
+        # spans: 128-multiples up to 2048 reached by 512-chunks (4) +
+        # powers of two above (4096, 8192) = 6; one start (no window)
+        assert len(plan["chunk_pairs"]) <= 8
+        assert plan["n_compiles"] <= 12
+        # the old per-128-bucket scheme would have been ~16 pairs
+        from tpu_bitsandbytes.engine.engine import _chunk_span_bucket
+        assert _chunk_span_bucket(2049, 8192) == 4096
+        assert _chunk_span_bucket(4097, 8192) == 8192
+        assert _chunk_span_bucket(1920, 8192) == 1920
+
+    def test_chunk_pairs_bounded_at_32k(self, tiny_model):
+        """max_seq 32k / chunk 512 (VERDICT's example: 'hundreds of XLA
+        compiles'): the plan stays under ~30."""
+        cfg, params = tiny_model
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=32768,
+                         quantized_kv=False, prefill_chunk=512)
+        plan = e.warmup_plan(prompt_lengths=[32767])
+        assert len(plan["chunk_pairs"]) <= 24
+        assert plan["n_compiles"] <= 32
+
+    def test_warmup_dispatches_match_plan(self, tiny_model, monkeypatch):
+        """warmup() must hit exactly the signatures the plan claims — one
+        prefill per bucket, one chunk step per pair, one decode chunk per
+        (window x variant)."""
+        import tpu_bitsandbytes.engine.engine as eng_mod
+        cfg, params = tiny_model
+        calls = {"prefill": 0, "chunk": 0, "decode": 0}
+        orig_p, orig_c, orig_d = (eng_mod.prefill_step,
+                                  eng_mod.prefill_chunk_step,
+                                  eng_mod.decode_chunk)
+
+        def spy_p(*a, **k):
+            calls["prefill"] += 1
+            return orig_p(*a, **k)
+
+        def spy_c(*a, **k):
+            calls["chunk"] += 1
+            return orig_c(*a, **k)
+
+        def spy_d(*a, **k):
+            calls["decode"] += 1
+            return orig_d(*a, **k)
+
+        monkeypatch.setattr(eng_mod, "prefill_step", spy_p)
+        monkeypatch.setattr(eng_mod, "prefill_chunk_step", spy_c)
+        monkeypatch.setattr(eng_mod, "decode_chunk", spy_d)
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=128,
+                         quantized_kv=False, prefill_chunk=16)
+        plan = e.warmup(prompt_lengths=[20, 100],
+                        features=("sampled", "penalty"))
+        assert calls["prefill"] == len(plan["prefill_buckets"])
+        assert calls["chunk"] == len(plan["chunk_pairs"])
+        assert calls["decode"] == (len(plan["decode_windows"])
+                                   * len(plan["variants"]))
+        assert plan["seconds"] > 0
+
+    def test_warmup_covers_serving_no_recompile(self, tiny_model,
+                                                monkeypatch):
+        """After warmup, a chunked-prefill generate must not hit any NEW
+        (span, start) chunk signature (the serving path and the plan use
+        the same bucketing function)."""
+        import tpu_bitsandbytes.engine.engine as eng_mod
+        cfg, params = tiny_model
+        rng = np.random.default_rng(3)
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=128,
+                         quantized_kv=False, prefill_chunk=16)
+        plan = e.warmup(prompt_lengths=[100])
+        pairs = set(plan["chunk_pairs"])
+        seen = []
+        orig_c = eng_mod.prefill_chunk_step
+
+        def spy_c(*a, **k):
+            seen.append((k.get("attn_span"), k.get("attn_start", 0)))
+            return orig_c(*a, **k)
+
+        monkeypatch.setattr(eng_mod, "prefill_chunk_step", spy_c)
+        e.generate([list(rng.integers(0, cfg.vocab_size, 100))],
+                   SamplingParams(max_new_tokens=3))
+        assert seen and set(seen) <= pairs

@@ -586,3 +586,117 @@ class TestTPQwen2Moe:
         logits_ref, _ = decode_step(qparams, cache_ref, tokens, active, cfg)
         np.testing.assert_allclose(np.asarray(logits_tp),
                                    np.asarray(logits_ref), atol=2e-3)
+
+
+class TestMeshChunkedPrefill:
+    """VERDICT r2 #6: chunked prefill must work under the (dp, tp) mesh —
+    the shard_map chunk step (parallel/tp.py make_tp_prefill_chunk) with
+    dp-ownership-masked KV writes and owner-broadcast hidden states."""
+
+    def test_mesh_chunked_matches_single_device(self, tp_model, rng):
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg, params = tp_model
+        prompts = [list(rng.integers(0, cfg.vocab_size, n))
+                   for n in (40, 7, 33)]
+        sp = SamplingParams(max_new_tokens=5)
+        ref = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                           quantized_kv=False).generate(prompts, sp)
+        mesh = make_mesh(tp=4, dp=2)
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                         quantized_kv=False, mesh=mesh, prefill_chunk=16)
+        got = e.generate(prompts, sp)
+        assert got == ref
+
+    def test_mesh_chunked_matches_unchunked_mesh(self, tp_model, rng):
+        """Both engines on the mesh: chunked == whole-prompt prefill, on the
+        step() path (per-chunk admission interleaving)."""
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg, params = tp_model
+        prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (40, 9)]
+        sp = SamplingParams(max_new_tokens=4)
+        ref = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                           quantized_kv=False,
+                           mesh=make_mesh(tp=4, dp=2)).generate(
+            prompts, sp, pipeline_depth=1)
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                         quantized_kv=False, mesh=make_mesh(tp=4, dp=2),
+                         prefill_chunk=16)
+        got = e.generate(prompts, sp, pipeline_depth=1)
+        assert got == ref
+
+    def test_mesh_chunked_quantized_kv_first_token(self, tp_model, rng):
+        """int8 KV: chunked mesh attends to requantized history — same
+        quant-noise class as single-device chunked; first tokens agree."""
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg, params = tp_model
+        prompt = list(rng.integers(0, cfg.vocab_size, 45))
+        sp = SamplingParams(max_new_tokens=3)
+        ref = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                           quantized_kv=True,
+                           prefill_chunk=16).generate([prompt], sp)[0]
+        mesh = make_mesh(tp=4, dp=2)
+        got = DecodeEngine(params, cfg, max_batch=2, max_seq=64,
+                           quantized_kv=True, mesh=mesh,
+                           prefill_chunk=16).generate([prompt], sp)[0]
+        assert got[0] == ref[0]
+
+
+class TestMeshRingKV:
+    """VERDICT r2 #6: the rolling KV buffer must work under the mesh —
+    ring writes/reads operate on dp/tp-local shards, and kv_cache_spec
+    carries the ring static aux."""
+
+    def _cfg(self, max_seq=512, window=32):
+        import dataclasses as _dc
+        cfg = _dc.replace(llama.LlamaConfig.tiny_mistral(),
+                          sliding_window=window, max_seq_len=max_seq,
+                          dtype=jnp.float32)
+        params = llama.init_params(jax.random.PRNGKey(31), cfg,
+                                   dtype=jnp.float32)
+        return cfg, params
+
+    @pytest.mark.parametrize("quantized_kv", [False, True])
+    def test_mesh_ring_matches_full_cache(self, rng, quantized_kv):
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg, params = self._cfg()
+        prompt = list(rng.integers(0, cfg.vocab_size, 150))
+        sp = SamplingParams(max_new_tokens=10)
+        mesh = make_mesh(tp=2, dp=2)     # kv_heads=2 -> 1 head/device
+        ref = DecodeEngine(params, cfg, max_batch=2, max_seq=512,
+                           quantized_kv=quantized_kv,
+                           mesh=mesh).generate([prompt], sp)
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=512,
+                         quantized_kv=quantized_kv,
+                         mesh=make_mesh(tp=2, dp=2), ring_kv=True)
+        assert e.cache.ring and e.cache.max_seq < 512
+        got = e.generate([prompt], sp)
+        assert got == ref
+
+    def test_mesh_ring_matches_single_device_ring(self, rng):
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg, params = self._cfg()
+        prompt = list(rng.integers(0, cfg.vocab_size, 20))
+        sp = SamplingParams(max_new_tokens=100)   # 120 >> ring (~64)
+        ref = DecodeEngine(params, cfg, max_batch=2, max_seq=512,
+                           quantized_kv=False, ring_kv=True
+                           ).generate([prompt], sp)
+        mesh = make_mesh(tp=2, dp=2)
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=512,
+                         quantized_kv=False, ring_kv=True, mesh=mesh)
+        got = e.generate([prompt], sp)
+        assert got == ref
+
+    def test_mesh_ring_chunked_prefill(self, rng):
+        """All three at once: mesh + ring + chunked prefill."""
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg, params = self._cfg()
+        prompt = list(rng.integers(0, cfg.vocab_size, 150))
+        sp = SamplingParams(max_new_tokens=8)
+        ref = DecodeEngine(params, cfg, max_batch=2, max_seq=512,
+                           quantized_kv=False).generate([prompt], sp)
+        mesh = make_mesh(tp=2, dp=2)
+        e = DecodeEngine(params, cfg, max_batch=2, max_seq=512,
+                         quantized_kv=False, ring_kv=True, mesh=mesh,
+                         prefill_chunk=32)
+        got = e.generate([prompt], sp)
+        assert got == ref

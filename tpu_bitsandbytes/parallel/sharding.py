@@ -136,6 +136,10 @@ def kv_cache_spec(cache=None):
     from ..engine.kvcache import KVCache
     quantized = True if cache is None else cache.quantized
     dtype = None if cache is None else cache.dtype
+    # static aux (ring flags) must match the real cache's for pytree
+    # structure matching in shard_map/jit shardings
+    ring = False if cache is None else cache.ring
+    max_positions = None if cache is None else cache.max_positions
     scale_spec = P(None, "dp", "tp", None) if quantized else None
     return KVCache(
         k=P(None, "dp", "tp", None, None),
@@ -143,7 +147,8 @@ def kv_cache_spec(cache=None):
         k_scale=scale_spec,
         v_scale=scale_spec,
         lengths=P("dp"),
-        quantized=quantized, dtype=dtype)
+        quantized=quantized, dtype=dtype,
+        ring=ring, max_positions=max_positions)
 
 
 def spec_tree(params, specs=None):

@@ -61,7 +61,7 @@ def _row_bias(w):
 
 def _tp_decode_impl(params, cache: KVCache, tokens, active,
                     config: llama.LlamaConfig, tp_axis: str = "tp",
-                    attn_span=None):
+                    attn_span=None, attn_start: int = 0):
     """Per-device body (inside shard_map). tokens/active are dp-local."""
     b = tokens.shape[0]
     tp = jax.lax.psum(1, tp_axis)
@@ -87,7 +87,7 @@ def _tp_decode_impl(params, cache: KVCache, tokens, active,
         x, cache = llama.decode_layer(
             layer, x, cos, sin, positions, cache, li, config,
             n_heads=n_heads, n_kv=n_kv, wrap=wrap, reduce_fn=reduce_fn,
-            attn_span=attn_span)
+            attn_span=attn_span, attn_start=attn_start)
 
     x = llama._norm(x, params["final_norm"], config)
     head = params.get("lm_head", None)
@@ -108,6 +108,7 @@ def _tp_decode_chunk_impl(params, cache: KVCache, tokens, active, key, samp,
                           seen_mask, config: llama.LlamaConfig,
                           n_steps: int = 8,
                           all_greedy: bool = False, attn_span=None,
+                          attn_start: int = 0,
                           want_logprobs: bool = False,
                           tp_axis: str = "tp", dp_axis: str = "dp"):
     """n_steps TP decode steps + on-device sampling in one shard_map body —
@@ -120,14 +121,15 @@ def _tp_decode_chunk_impl(params, cache: KVCache, tokens, active, key, samp,
     all-False mask is a no-op — the mesh chunk always threads it so one
     compiled program serves both); per-token model logprobs are emitted
     like engine.decode_chunk's."""
-    max_seq = cache.max_seq
+    max_seq = cache.max_positions or cache.max_seq   # absolute room bound
     b = tokens.shape[0]
     key = jax.random.fold_in(key, jax.lax.axis_index(dp_axis))
 
     def body(carry, _):
         cache, tokens, active, key, seen = carry
         logits, cache = _tp_decode_impl(params, cache, tokens, active,
-                                        config, tp_axis, attn_span)
+                                        config, tp_axis, attn_span,
+                                        attn_start)
         key, sub = jax.random.split(key)
         from ..engine.sampler import apply_repetition_penalty, sample_batched
         pen_logits = apply_repetition_penalty(logits, seen, samp.rep_pen)
@@ -196,7 +198,10 @@ def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
         x, (k, v) = llama.prefill_layer(
             layer, x, cos, sin, config, n_heads=n_heads, n_kv=n_kv,
             wrap=wrap, reduce_fn=reduce_fn, li=li)
-        cache = cache.write_prefill(li, local_slot, k[0], v[0], 0, own=own)
+        # valid_len: required in ring mode (padding past true_len would wrap
+        # onto real earlier entries); harmless for the plain cache
+        cache = cache.write_prefill(li, local_slot, k[0], v[0], 0, own=own,
+                                    valid_len=true_len)
 
     cur = cache.lengths[local_slot]
     cache = dataclasses.replace(
@@ -257,14 +262,15 @@ def make_tp_decode_chunk(mesh: Mesh, params, config: llama.LlamaConfig,
     samp_spec = SamplingArrays(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"))
 
     @partial(jax.jit, static_argnames=("all_greedy", "attn_span",
-                                       "want_logprobs"),
+                                       "attn_start", "want_logprobs"),
              donate_argnums=(1,))
     def chunk(params, cache, tokens, active, key, samp, seen_mask,
-              all_greedy=False, attn_span=None, want_logprobs=False):
+              all_greedy=False, attn_span=None, attn_start=0,
+              want_logprobs=False):
         fn = shard_map(
             partial(_tp_decode_chunk_impl, config=config, n_steps=n_steps,
                     all_greedy=all_greedy, attn_span=attn_span,
-                    want_logprobs=want_logprobs),
+                    attn_start=attn_start, want_logprobs=want_logprobs),
             mesh=mesh,
             in_specs=(pspecs, cspec, P("dp"), P("dp"), P(), samp_spec,
                       P("dp", None)),
@@ -275,6 +281,127 @@ def make_tp_decode_chunk(mesh: Mesh, params, config: llama.LlamaConfig,
         return fn(params, cache, tokens, active, key, samp, seen_mask)
 
     return chunk
+
+
+def _tp_prefill_chunk_impl(params, cache: KVCache, tokens, slot, start,
+                           new_len, config: llama.LlamaConfig,
+                           attn_span=None, attn_start: int = 0,
+                           tp_axis: str = "tp", dp_axis: str = "dp"):
+    """Per-device body of one chunked-prefill step (inside shard_map).
+
+    The mesh counterpart of engine.prefill_chunk_step: tokens [1, C]
+    (replicated) are written into the dp-local shard of cache slot ``slot``
+    at positions [start, start+C); the chunk's queries attend only to that
+    slot's own history. dp ownership is enforced at the scatter level: the
+    non-owning groups write through an out-of-bounds slot index (dropped,
+    the same mechanism ring writes use to drop padding) and their attention
+    reads garbage history — their hidden states are discarded by the
+    owner-masked psum at the end, so every dp group returns the owner's x.
+    """
+    tp = jax.lax.psum(1, tp_axis)
+    n_heads = config.num_heads // tp
+    n_kv = config.num_kv_heads // tp
+    c = tokens.shape[1]
+
+    slots_per = cache.lengths.shape[0]          # dp-local slot count
+    dp_idx = jax.lax.axis_index(dp_axis)
+    own = (slot // slots_per) == dp_idx
+    # out-of-bounds local slot for non-owners: scatter writes drop, the
+    # dynamic_slice read clamps (garbage history, masked out below)
+    local_slot = jnp.where(own, slot % slots_per, slots_per)
+
+    positions = start + jnp.arange(c, dtype=jnp.int32)[None, :]
+    x, cos, sin = llama.decode_embed_and_rope(params, tokens, positions,
+                                              config)
+
+    def wrap(w, row=False):
+        return _localize(w, strip_bias=row)
+
+    def reduce_fn(partial, w):
+        full = jax.lax.psum(partial, tp_axis)
+        bias = _row_bias(w)
+        return full if bias is None else full + bias.astype(full.dtype)
+
+    for li, layer in enumerate(params["layers"]):
+        x, cache = llama.decode_layer(
+            layer, x, cos, sin, positions, cache, li, config,
+            n_heads=n_heads, n_kv=n_kv, wrap=wrap, reduce_fn=reduce_fn,
+            attn_span=attn_span, slot=local_slot, attn_start=attn_start)
+
+    # owner-masked length update (lengths[slot] tracks the prefill frontier
+    # — load-bearing, see engine.prefill_chunk_step)
+    ls = jnp.clip(local_slot, 0, slots_per - 1)
+    cur = cache.lengths[ls]
+    cache = dataclasses.replace(
+        cache, lengths=cache.lengths.at[ls].set(
+            jnp.where(own, new_len, cur)))
+    # broadcast the owner's hidden states to every dp group (one [1,C,H]
+    # psum per chunk; non-owners attended to garbage history)
+    x = jax.lax.psum(jnp.where(own, x, jnp.zeros_like(x)), dp_axis)
+    return x, cache
+
+
+def make_tp_prefill_chunk(mesh: Mesh, params, config: llama.LlamaConfig,
+                          cache: KVCache):
+    """Build the jitted shard_map'ed chunked-prefill step (mesh mode).
+
+    Returns ``fn(params, cache, tokens [1,C], slot, start, new_len,
+    attn_span=..., attn_start=...)`` → (hidden [1, C, H] replicated, cache).
+    Feed the final chunk's hidden to the builder from
+    :func:`make_tp_final_logits`.
+    """
+    pspecs = llama_param_specs(params)
+    cspec = kv_cache_spec(cache)
+
+    @partial(jax.jit, static_argnames=("attn_span", "attn_start"),
+             donate_argnums=(1,))
+    def chunk(params, cache, tokens, slot, start, new_len,
+              attn_span=None, attn_start=0):
+        fn = shard_map(
+            partial(_tp_prefill_chunk_impl, config=config,
+                    attn_span=attn_span, attn_start=attn_start),
+            mesh=mesh,
+            in_specs=(pspecs, cspec, P(None, None), P(), P(), P()),
+            out_specs=(P(), cspec),
+            check_vma=False,
+        )
+        return fn(params, cache, tokens, slot, start, new_len)
+
+    return chunk
+
+
+def _tp_final_logits_impl(params, x, idx, config: llama.LlamaConfig,
+                          tp_axis: str = "tp"):
+    """Last-token logits from a final prefill chunk's hidden states
+    (inside shard_map): local lm_head shard → [1, V/tp] → all_gather."""
+    xl = jnp.take_along_axis(
+        x, jnp.broadcast_to(idx[None, None, None], (1, 1, x.shape[-1])),
+        axis=1)[:, 0]                                   # [1, H]
+    xl = llama._norm(xl, params["final_norm"], config)
+    head = params.get("lm_head", None)
+    if head is None:
+        logits = xl @ params["embed"].T.astype(xl.dtype)
+    else:
+        local = linear_apply(_localize(head), xl)       # [1, V/tp]
+        logits = jax.lax.all_gather(local, tp_axis, axis=1, tiled=True)
+    logits = llama.finish_logits(logits, config)
+    return logits[0]
+
+
+def make_tp_final_logits(mesh: Mesh, params, config: llama.LlamaConfig):
+    """Build the jitted shard_map'ed lm_head for chunked-prefill final
+    logits: ``fn(params, x [1,C,H], idx)`` → [V] (replicated). The head
+    streams once per admission, not per chunk — same contract as
+    engine.prefill_final_logits."""
+    pspecs = llama_param_specs(params)
+    fn = shard_map(
+        partial(_tp_final_logits_impl, config=config),
+        mesh=mesh,
+        in_specs=(pspecs, P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def make_tp_decode_step(mesh: Mesh, params, config: llama.LlamaConfig,

@@ -92,6 +92,91 @@ class MetricsLogger:
         }
 
 
+def param_footprint(params, runtime_cache: Optional[str] = None,
+                    drop_packed: bool = False) -> Dict[str, int]:
+    """Bytes by category for a (quantized) param tree.
+
+    ``runtime_cache``/``drop_packed``: account a *hypothetical* execution
+    cache ("int8"/"bf16") for QLinear4 leaves that do not carry one yet —
+    the engine uses this to decide drop_packed BEFORE materializing the
+    cache (building both formats transiently would double peak HBM).
+
+    Returns {"packed": NF4 codes+absmax (0 if drop_packed would free them),
+    "exec_cache": runtime cache, "fp": everything else} in bytes.
+    """
+    from ..models.layers import QLinear4
+    out = {"packed": 0, "exec_cache": 0, "fp": 0}
+
+    def nbytes(a):
+        return 0 if a is None else a.size * jnp_itemsize(a.dtype)
+
+    def jnp_itemsize(dt):
+        import numpy as np
+        return np.dtype(dt).itemsize
+
+    def visit(w):
+        if isinstance(w, QLinear4):
+            pk = nbytes(w.packed) + nbytes(w.absmax) + nbytes(w.absmax_q)
+            if w.absmax_state is not None:
+                pk += nbytes(w.absmax_state.absmax)
+            ex = nbytes(w.w_cache) + nbytes(w.cache_scale)
+            if ex == 0 and runtime_cache is not None:
+                n, k = w.shape
+                ex = n * k * (1 if runtime_cache == "int8" else 2) + n * 4
+            if drop_packed and ex:
+                pk = 0
+            out["packed"] += pk
+            out["exec_cache"] += ex
+            out["fp"] += nbytes(w.bias)
+        elif hasattr(w, "size") and hasattr(w, "dtype"):
+            out["fp"] += nbytes(w)
+        return None
+
+    jax.tree_util.tree_map(visit, params,
+                           is_leaf=lambda x: isinstance(x, QLinear4))
+    return out
+
+
+def kv_cache_bytes(num_layers: int, batch: int, s_axis: int, kv_heads: int,
+                   head_dim: int, quantized: bool = True,
+                   dtype_bytes: int = 2) -> int:
+    """Bytes of a KVCache allocation (codes + scales when quantized)."""
+    per = 2 * num_layers * batch * kv_heads * s_axis
+    if quantized:
+        return per * head_dim + per * 4
+    return per * head_dim * dtype_bytes
+
+
+def serving_act_bytes(config, max_batch: int, prefill_bucket: int,
+                      steps_per_sync: int = 8) -> int:
+    """Rough peak activation/workspace estimate for serving (NOT exact —
+    XLA reuses buffers; this bounds the transient residency class):
+    prefill at the given bucket keeps a few S×max(4H, 2I) planes live per
+    layer boundary, decode keeps B×(H+V) logits/hidden plus the chunk's
+    KV staging block."""
+    h, i, v = (config.hidden_size, config.intermediate_size,
+               config.vocab_size)
+    act = 2  # bf16 planes
+    prefill = prefill_bucket * max(4 * h, 2 * i) * act * 2
+    stage = (2 * config.num_layers * max_batch * config.num_kv_heads
+             * steps_per_sync * (config.hd + 4))
+    decode = max_batch * (h * act + v * 4) + stage
+    return int(max(prefill, decode))
+
+
+def format_footprint(fp: Dict[str, Any]) -> str:
+    """Human-readable footprint table (engine.footprint() output)."""
+    gib = 1024 ** 3
+    lines = ["HBM footprint (per chip):"]
+    for key in ("packed", "exec_cache", "fp", "kv", "activations_est"):
+        if key in fp:
+            lines.append(f"  {key:<16} {fp[key] / gib:8.3f} GiB")
+    lines.append(f"  {'total':<16} {fp['total'] / gib:8.3f} GiB"
+                 f" / {fp['budget'] / gib:.1f} GiB"
+                 f" ({'fits' if fp['fits'] else 'OVER BUDGET'})")
+    return "\n".join(lines)
+
+
 @contextlib.contextmanager
 def trace(name: str, log_dir: Optional[str] = None):
     """jax.profiler trace region; with ``log_dir`` captures a full trace."""
