@@ -136,3 +136,99 @@ class TestMemoryFootprint:
         after = tbnb.get_memory_footprint(mq)
         assert after["actual_size_gb"] < before["actual_size_gb"] / 3
         assert after["savings_pct"] > 40
+
+
+class TestTorchModelSurgery:
+    """quantize_model over a real torch.nn.Module tree (the reference's
+    native habitat, integration.py:108-196): torch Linears become
+    TPU-backed adapter modules (nn/torch_compat.py) and the torch forward
+    keeps working — previously this silently returned the model unchanged."""
+
+    def _torch_mlp(self):
+        import torch
+        torch.manual_seed(0)
+        return torch.nn.Sequential(
+            torch.nn.Linear(64, 128), torch.nn.ReLU(),
+            torch.nn.Linear(128, 32))
+
+    def test_torch_linears_are_converted(self):
+        import torch
+        m = self._torch_mlp()
+        x = torch.randn(4, 64)
+        ref = m(x).detach().numpy()
+        qm = tbnb.quantize_model(m, tbnb.BitsAndBytesConfig(load_in_4bit=True))
+        assert not isinstance(qm[0], torch.nn.Linear)
+        assert qm[0].__class__.__name__ == "TorchQuantLinear"
+        out = qm(x).detach().numpy()
+        cos = float((ref * out).sum()
+                    / (np.linalg.norm(ref) * np.linalg.norm(out) + 1e-9))
+        assert cos > 0.98          # NF4 noise, not identity
+        assert not np.allclose(ref, out)   # ...but it DID quantize
+
+    def test_torch_8bit_and_skip_list(self):
+        import torch
+
+        class Net(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                torch.manual_seed(1)
+                self.proj = torch.nn.Linear(32, 32)
+                self.lm_head = torch.nn.Linear(32, 16)
+
+            def forward(self, x):
+                return self.lm_head(self.proj(x))
+
+        m = tbnb.quantize_model(Net(), tbnb.BitsAndBytesConfig(
+            load_in_8bit=True, llm_int8_skip_modules=["lm_head"]))
+        assert m.proj.__class__.__name__ == "TorchQuantLinear"
+        assert isinstance(m.lm_head, torch.nn.Linear)
+        x = torch.randn(2, 32)
+        assert m(x).shape == (2, 16)
+
+    def test_torch_memory_footprint(self):
+        m = self._torch_mlp()
+        before = tbnb.get_memory_footprint(m)
+        qm = tbnb.quantize_model(m, tbnb.BitsAndBytesConfig(load_in_4bit=True))
+        after = tbnb.get_memory_footprint(qm)
+        assert after["quantized_params"] > 0
+        assert after["actual_size_gb"] < before["actual_size_gb"]
+
+
+class TestPatchTransformers:
+    """The reference ships _patch_transformers permanently disabled
+    (integration.py:331); here it is a working opt-in."""
+
+    def test_patch_roundtrip_tiny_llama(self, tmp_path):
+        transformers = pytest.importorskip("transformers")
+        import torch
+        cfg = transformers.LlamaConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=2,
+            num_key_value_heads=2, max_position_embeddings=64)
+        torch.manual_seed(0)
+        model = transformers.LlamaForCausalLM(cfg)
+        model.save_pretrained(str(tmp_path / "tiny"))
+        try:
+            assert tbnb.patch_transformers()
+            qm = transformers.LlamaForCausalLM.from_pretrained(
+                str(tmp_path / "tiny"),
+                quantization_config=tbnb.BitsAndBytesConfig(
+                    load_in_4bit=True))
+        finally:
+            tbnb.unpatch_transformers()
+        qp = qm.model.layers[0].self_attn.q_proj
+        assert qp.__class__.__name__ == "TorchQuantLinear"
+        # lm_head stays full precision (default skip)
+        assert isinstance(qm.lm_head, torch.nn.Linear)
+        ids = torch.randint(0, 128, (1, 8))
+        out = qm(ids).logits
+        assert out.shape == (1, 8, 128)
+        assert torch.isfinite(out).all()
+
+    def test_unpatched_is_untouched(self, tmp_path):
+        transformers = pytest.importorskip("transformers")
+        orig = transformers.modeling_utils.PreTrainedModel.from_pretrained
+        assert tbnb.patch_transformers()
+        tbnb.unpatch_transformers()
+        now = transformers.modeling_utils.PreTrainedModel.from_pretrained
+        assert now.__func__ is orig.__func__

@@ -74,6 +74,8 @@ from .integration import (  # noqa: E402
     replace_linear_with_4bit,
     replace_linear_with_8bit,
     get_memory_footprint,
+    patch_transformers,
+    unpatch_transformers,
 )
 
 __all__ = [
@@ -101,5 +103,5 @@ __all__ = [
     "quantize_state_unsigned", "dequantize_state_unsigned",
     "BitsAndBytesConfig", "quantize_model",
     "replace_linear_with_4bit", "replace_linear_with_8bit",
-    "get_memory_footprint",
+    "get_memory_footprint", "patch_transformers", "unpatch_transformers",
 ]

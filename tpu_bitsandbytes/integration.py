@@ -24,7 +24,7 @@ from .nn.base import Module
 __all__ = [
     "BitsAndBytesConfig", "quantize_model",
     "replace_linear_with_4bit", "replace_linear_with_8bit",
-    "get_memory_footprint",
+    "get_memory_footprint", "patch_transformers", "unpatch_transformers",
 ]
 
 
@@ -120,10 +120,49 @@ def _walk_replace(model, convert_fn, should_convert, modules_to_not_convert,
     return model
 
 
+def _walk_replace_torch(model, convert_fn, should_convert,
+                        modules_to_not_convert, current_key_name=None):
+    """Recursive in-place replacement over a ``torch.nn.Module`` tree.
+
+    The converted layer is a :mod:`nn.torch_compat` adapter (a real torch
+    module, so ``setattr`` is legal), holding the JAX quantized linear.
+    Same substring-match skip-list semantics as the Module walk.
+    """
+    for name, child in list(model.named_children()):
+        full_name = (f"{current_key_name}.{name}" if current_key_name
+                     else name)
+        if should_convert(child):
+            if any(skip in full_name for skip in modules_to_not_convert):
+                continue
+            setattr(model, name, convert_fn(child))
+        else:
+            _walk_replace_torch(child, convert_fn, should_convert,
+                                modules_to_not_convert, full_name)
+    return model
+
+
+def _dispatch_walk(model, convert_fn, should_convert, modules_to_not_convert,
+                   wrap_torch: bool):
+    from .nn.torch_compat import is_torch_module, wrap_quantized
+    if is_torch_module(model):
+        import torch
+        conv = ((lambda m: wrap_quantized(convert_fn(m))) if wrap_torch
+                else convert_fn)
+        return _walk_replace_torch(
+            model, conv, lambda m: isinstance(m, torch.nn.Linear),
+            modules_to_not_convert)
+    return _walk_replace(model, convert_fn, should_convert,
+                         modules_to_not_convert)
+
+
 def replace_linear_with_4bit(model, quantization_config: BitsAndBytesConfig,
                              modules_to_not_convert: Optional[list] = None,
                              current_key_name: Optional[str] = None):
-    """Replace every plain Linear with Linear4bit (reference :108-154)."""
+    """Replace every plain Linear with Linear4bit (reference :108-154).
+
+    Accepts a :class:`tpu_bitsandbytes.nn.Module` tree or a
+    ``torch.nn.Module`` tree — torch Linears become torch-adapter modules
+    running the JAX quantized matmul (nn/torch_compat.py)."""
     if modules_to_not_convert is None:
         modules_to_not_convert = []
 
@@ -135,19 +174,20 @@ def replace_linear_with_4bit(model, quantization_config: BitsAndBytesConfig,
             compress_statistics=quantization_config.bnb_4bit_use_double_quant,
         )
 
-    return _walk_replace(model, convert, lambda m: isinstance(m, Linear),
-                         modules_to_not_convert, current_key_name)
+    return _dispatch_walk(model, convert, lambda m: isinstance(m, Linear),
+                          modules_to_not_convert, wrap_torch=True)
 
 
 def replace_linear_with_8bit(model, quantization_config: BitsAndBytesConfig,
                              modules_to_not_convert: Optional[list] = None,
                              current_key_name: Optional[str] = None):
-    """Replace every plain Linear with Linear8bit (reference :157-196)."""
+    """Replace every plain Linear with Linear8bit (reference :157-196).
+    Accepts Module or torch trees like :func:`replace_linear_with_4bit`."""
     if modules_to_not_convert is None:
         modules_to_not_convert = quantization_config.llm_int8_skip_modules or []
-    return _walk_replace(model, Linear8bit.from_linear,
-                         lambda m: isinstance(m, Linear),
-                         modules_to_not_convert, current_key_name)
+    return _dispatch_walk(model, Linear8bit.from_linear,
+                          lambda m: isinstance(m, Linear),
+                          modules_to_not_convert, wrap_torch=True)
 
 
 def quantize_model(model, quantization_config: Optional[BitsAndBytesConfig] = None,
@@ -180,12 +220,29 @@ def get_memory_footprint(model) -> Dict[str, Any]:
     storage-dtype win.
     """
     import jax
+    from .nn.torch_compat import is_torch_module
 
     total_bytes = 0
     total_params = 0
     quantized_params = 0
 
-    for leaf in jax.tree_util.tree_leaves(model):
+    leaves = jax.tree_util.tree_leaves(model)
+    if is_torch_module(model):
+        # torch tree: count torch params directly (numel/element_size — no
+        # numpy round-trip, bf16-safe) plus the JAX arrays inside
+        # adapter-held quantized layers (nn/torch_compat.py)
+        leaves = []
+        for p in model.parameters():
+            n = int(p.numel())
+            total_params += n
+            total_bytes += n * p.element_size()
+        for m in model.modules():
+            inner = getattr(m, "inner", None)
+            if inner is not None:
+                leaves.extend(v for v in vars(inner).values()
+                              if hasattr(v, "dtype") and hasattr(v, "size"))
+
+    for leaf in leaves:
         if not hasattr(leaf, "size") or not hasattr(leaf, "dtype"):
             continue
         n = int(leaf.size)
@@ -206,3 +263,66 @@ def get_memory_footprint(model) -> Dict[str, Any]:
         "savings_gb": fp16_size - actual_size,
         "savings_pct": (1 - actual_size / fp16_size) * 100 if fp16_size > 0 else 0,
     }
+
+
+# ---------------------------------------------------------------------------
+# transformers auto-patch (reference integration.py:291-334 — shipped there
+# but never enabled; here it is a working OPT-IN)
+# ---------------------------------------------------------------------------
+
+_ORIG_FROM_PRETRAINED = None
+
+
+def patch_transformers() -> bool:
+    """Opt-in: patch ``transformers.PreTrainedModel.from_pretrained`` so a
+    call carrying a tpu-bitsandbytes :class:`BitsAndBytesConfig` loads the
+    checkpoint full-precision and quantizes it through
+    :func:`quantize_model` — the torch Linears become TPU-backed adapters
+    (nn/torch_compat.py).
+
+    The reference ships the same hook permanently disabled
+    (mps_bitsandbytes/integration.py:331). Here it is functional but never
+    applied automatically — call this explicitly; :func:`unpatch_transformers`
+    restores the original. Returns False when transformers is unavailable.
+
+    For production serving convert to the in-repo engine instead
+    (``utils.hf.load_llama_from_pretrained`` + ``engine.DecodeEngine``); the
+    patched path keeps HF's torch forward with per-layer TPU matmuls.
+    """
+    global _ORIG_FROM_PRETRAINED
+    try:
+        from transformers import modeling_utils
+    except ImportError:
+        return False
+    if _ORIG_FROM_PRETRAINED is not None:
+        return True                                   # already patched
+    orig = modeling_utils.PreTrainedModel.from_pretrained.__func__
+
+    @classmethod
+    def _patched(cls, *args, **kwargs):
+        qc = kwargs.get("quantization_config")
+        if isinstance(qc, BitsAndBytesConfig) and qc.is_quantizable:
+            kwargs = dict(kwargs)
+            kwargs.pop("quantization_config", None)
+            kwargs.pop("device_map", None)
+            model = orig(cls, *args, **kwargs)
+            return quantize_model(
+                model, qc,
+                modules_to_not_convert=list(qc.llm_int8_skip_modules or [])
+                + ["lm_head"])
+        return orig(cls, *args, **kwargs)
+
+    modeling_utils.PreTrainedModel.from_pretrained = _patched
+    _ORIG_FROM_PRETRAINED = orig
+    return True
+
+
+def unpatch_transformers() -> None:
+    """Restore the original ``from_pretrained`` (no-op when not patched)."""
+    global _ORIG_FROM_PRETRAINED
+    if _ORIG_FROM_PRETRAINED is None:
+        return
+    from transformers import modeling_utils
+    modeling_utils.PreTrainedModel.from_pretrained = classmethod(
+        _ORIG_FROM_PRETRAINED)
+    _ORIG_FROM_PRETRAINED = None
