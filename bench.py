@@ -214,8 +214,8 @@ def run_prefill(args, config, params):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7b",
-                    choices=["7b", "tiny", "1b", "qwen2-7b", "mistral-7b",
-                             "gemma2-9b"])
+                    choices=["7b", "13b", "tiny", "1b", "qwen2-7b",
+                             "mistral-7b", "gemma2-9b"])
     ap.add_argument("--batch", type=int, default=8,
                     help="decode slots (BASELINE config 3: continuous batching)")
     ap.add_argument("--chunk-steps", type=int, default=32,
@@ -251,6 +251,11 @@ def main():
 
     if args.model == "7b":
         config = llama.LlamaConfig.llama2_7b()
+    elif args.model == "13b":
+        # 13B on one 16 GB chip: int8 exec cache (13 GB) REQUIRES
+        # --drop-packed (the engine's drop_packed="auto" does this; the
+        # bench builds params directly, so ask for it explicitly)
+        config = llama.LlamaConfig.llama2_13b()
     elif args.model == "1b":
         config = llama.LlamaConfig(hidden_size=2048, intermediate_size=5504,
                                    num_layers=16, num_heads=16,

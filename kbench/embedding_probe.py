@@ -32,30 +32,36 @@ def main():
            for _ in range(32)]
     bytes_per = b * (d // 2 + (d // 64) * 4)
 
-    fwd = jax.jit(lambda i: emb.forward(i))
-
-    def chain(idss):
+    # tables must be ARGUMENTS: a closed-over device array becomes an HLO
+    # constant and blows the remote-compile payload limit at V=256k
+    def chain(packed, absmax, idss):
+        # fresh module per trace: assigning traced arrays to the outer
+        # module would leak tracers past the trace
+        e2 = Embedding4bit(v, d)
+        e2.weight_packed, e2.weight_absmax = packed, absmax
+        emb = e2
         acc = jnp.zeros((b, d), jnp.bfloat16)
         for i in idss:
             # data dependency through the ids (defeats CSE)
             j = (i + (acc[:, 0] != 0).astype(jnp.int32)) % v
-            acc = acc + fwd(j).astype(jnp.bfloat16)
+            acc = acc + emb.forward(j).astype(jnp.bfloat16)
         return acc
 
+    cf = jax.jit(chain)
     profile(f"Embedding4bit gather V={v} D={d} B={b}",
-            lambda: jax.jit(chain)(ids), bytes_per, len(ids))
+            lambda: cf(emb.weight_packed, emb.weight_absmax, ids),
+            bytes_per, len(ids))
 
-    gf = jax.jit(lambda i: jnp.take(table_bf16, i, axis=0))
-
-    def chain_ref(idss):
+    def chain_ref(table, idss):
         acc = jnp.zeros((b, d), jnp.bfloat16)
         for i in idss:
             j = (i + (acc[:, 0] != 0).astype(jnp.int32)) % v
-            acc = acc + gf(j)
+            acc = acc + jnp.take(table, j, axis=0)
         return acc
 
+    rf = jax.jit(chain_ref)
     profile(f"bf16 table gather  V={v} D={d} B={b}",
-            lambda: jax.jit(chain_ref)(ids), b * d * 2, len(ids))
+            lambda: rf(table_bf16, ids), b * d * 2, len(ids))
 
 
 if __name__ == "__main__":

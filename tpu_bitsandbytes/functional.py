@@ -371,6 +371,23 @@ def unpack_nibbles(packed: jnp.ndarray) -> jnp.ndarray:
     return stacked.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
 
 
+def codes_to_values(idx: jnp.ndarray, quant_type: str) -> jnp.ndarray:
+    """Decode 4-bit code indices to f32 codebook values (16-way select).
+
+    NOT ``jnp.take`` from the 16-entry table: XLA lowers a tiny-table
+    gather with a large index array to a catastrophic per-element path on
+    TPU — measured 1045 us for a [64, 2048] decode at the Gemma-vocab
+    embedding (kbench/embedding_probe round 3) and the 12 GB/s of the
+    round-2 "XLA dequant+dot fusion" row (KERNEL_NOTES). The compare+select
+    chain vectorizes on the VPU and fuses into neighbors.
+    """
+    book = _codebook_for(quant_type)
+    out = jnp.full(idx.shape, np.float32(book[0]), jnp.float32)
+    for i in range(1, 16):
+        out = jnp.where(idx == i, np.float32(book[i]), out)
+    return out
+
+
 # =============================================================================
 # 4-bit quantization (parity with functional.py:163-462)
 # =============================================================================
@@ -486,9 +503,8 @@ def _dequantize_4bit_2d(packed, absmax, shape, blocksize, quant_type, dtype):
     n, k = shape
     k_padded = _pad_k(k, blocksize)
     nblocks = k_padded // blocksize
-    codebook = _codebook_for(quant_type)
     idx = unpack_nibbles(packed.reshape(n, k_padded // 2))
-    values = jnp.take(codebook, idx.astype(jnp.int32), axis=0)
+    values = codes_to_values(idx, quant_type)
     values = values.reshape(n, nblocks, blocksize)
     values = values * absmax.reshape(n, nblocks).astype(jnp.float32)[:, :, None]
     return values.reshape(n, k_padded)[:, :k].astype(dtype)
@@ -496,12 +512,11 @@ def _dequantize_4bit_2d(packed, absmax, shape, blocksize, quant_type, dtype):
 
 @partial(jax.jit, static_argnames=("numel", "blocksize", "quant_type", "dtype"))
 def _dequantize_4bit_flat(packed, absmax, numel, blocksize, quant_type, dtype):
-    codebook = _codebook_for(quant_type)
     idx = unpack_nibbles(packed.reshape(1, -1)).reshape(-1)
     nblocks = absmax.size
     padded_numel = nblocks * blocksize
     idx = idx[:padded_numel].reshape(nblocks, blocksize)
-    values = jnp.take(codebook, idx.astype(jnp.int32), axis=0)
+    values = codes_to_values(idx, quant_type)
     values = values * absmax.astype(jnp.float32)[:, None]
     return values.reshape(-1)[:numel].astype(dtype)
 

@@ -24,6 +24,7 @@ from .linear import to_jnp
 from ..functional import (
     QuantState,
     _codebook_for,
+    codes_to_values,
     _pad_k,
     quantize_4bit,
     quantize_rowwise,
@@ -73,8 +74,9 @@ class Embedding4bit(Module):
         packed = jnp.take(self.weight_packed, flat, axis=0)   # [B, Dp/2]
         absmax = jnp.take(self.weight_absmax, flat, axis=0)   # [B, nblocks]
         codes = unpack_nibbles(packed)                        # [B, Dp]
-        codebook = _codebook_for(self.quant_type)
-        vals = jnp.take(codebook, codes.astype(jnp.int32), axis=0)
+        # 16-way select, NOT a tiny-table gather (1045 us -> ~us at
+        # V=256k B=64; kbench/embedding_probe round 3)
+        vals = codes_to_values(codes, self.quant_type)
         nb = absmax.shape[1]
         vals = (vals.reshape(-1, nb, self.blocksize)
                 * absmax[:, :, None]).reshape(-1, self._d_padded)
