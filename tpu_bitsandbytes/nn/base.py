@@ -93,6 +93,51 @@ class Module:
         """Return a copy with all array leaves on ``device``."""
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, device), self)
 
+    # --- checkpointing -----------------------------------------------------
+    # The reference gets per-module save/load for free from torch's
+    # recursive nn.Module.state_dict (its custom hooks live at
+    # mps_bitsandbytes/nn/linear4bit.py:245-312). Here the base class
+    # provides the recursion: array attributes serialize under their names,
+    # submodules (incl. lists/tuples of submodules) recurse with dotted
+    # prefixes. Quantized modules override BOTH methods with their
+    # format-specific protocol (requantize-on-load of full-precision
+    # checkpoints, metadata mismatch warnings).
+    def state_dict(self, prefix: str = "") -> dict:
+        d = {}
+        for k in sorted(self.__dict__):
+            if k.startswith("_"):
+                continue
+            v = self.__dict__[k]
+            if isinstance(v, Module):
+                d.update(v.state_dict(prefix=f"{prefix}{k}."))
+            elif isinstance(v, (list, tuple)) and any(
+                    isinstance(x, Module) for x in v):
+                for i, item in enumerate(v):
+                    if isinstance(item, Module):
+                        d.update(item.state_dict(prefix=f"{prefix}{k}.{i}."))
+            elif isinstance(v, (jnp.ndarray, np.ndarray)):
+                d[prefix + k] = v
+        return d
+
+    def load_state_dict(self, state_dict: dict, prefix: str = "") -> None:
+        for k in sorted(self.__dict__):
+            if k.startswith("_"):
+                continue
+            v = self.__dict__[k]
+            if isinstance(v, Module):
+                v.load_state_dict(state_dict, prefix=f"{prefix}{k}.")
+            elif isinstance(v, (list, tuple)) and any(
+                    isinstance(x, Module) for x in v):
+                for i, item in enumerate(v):
+                    if isinstance(item, Module):
+                        item.load_state_dict(state_dict,
+                                             prefix=f"{prefix}{k}.{i}.")
+            elif isinstance(v, (jnp.ndarray, np.ndarray)):
+                if prefix + k in state_dict:
+                    loaded = jnp.asarray(state_dict[prefix + k])
+                    setattr(self, k, loaded.astype(v.dtype)
+                            if loaded.dtype != v.dtype else loaded)
+
     def __call__(self, *args, **kwargs):
         return self.forward(*args, **kwargs)
 

@@ -110,6 +110,73 @@ class Embedding4bit(Module):
             weight.shape[0], d_padded // blocksize)
         return layer
 
+    def _requantize(self, weight) -> None:
+        """Quantize a full-precision [V, D] table into this layer's buffers
+        (odd D stored padded, sliced back on lookup — the from_embedding
+        rule). Shared by the re-quantize-on-load checkpoint path."""
+        weight = jnp.asarray(weight)
+        v, d = weight.shape
+        self.logical_dim = d
+        if d % 2 != 0:
+            weight = jnp.pad(weight, ((0, 0), (0, 1)))
+            d += 1
+        self.num_embeddings = v
+        self.embedding_dim = d
+        packed, state = quantize_4bit(weight, blocksize=self.blocksize,
+                                      quant_type=self.quant_type)
+        d_padded = _pad_k(d, self.blocksize)
+        self.weight_packed = packed.reshape(v, d_padded // 2)
+        self.weight_absmax = state.absmax.reshape(v, d_padded // self.blocksize)
+
+    # --- checkpointing (the Linear4bit protocol, reference
+    # nn/linear4bit.py:245-312, applied to the packed-row table format) ----
+    def state_dict(self, prefix: str = "") -> dict:
+        return {prefix + "weight_packed": self.weight_packed,
+                prefix + "weight_absmax": self.weight_absmax,
+                prefix + "quant_meta": {
+                    "blocksize": self.blocksize,
+                    "quant_type": self.quant_type,
+                    "logical_dim": self.logical_dim,
+                    "embedding_dim": self.embedding_dim}}
+
+    def load_state_dict(self, state_dict: dict, prefix: str = "") -> None:
+        import warnings
+        meta = state_dict.get(prefix + "quant_meta")
+        if meta is not None:
+            loaded_bs = int(meta.get("blocksize", 64))
+            if loaded_bs != self.blocksize:
+                warnings.warn(
+                    f"Embedding4bit blocksize mismatch: layer has blocksize="
+                    f"{self.blocksize}, checkpoint has blocksize={loaded_bs}."
+                    f" Using checkpoint blocksize.", UserWarning)
+                self.blocksize = loaded_bs
+            loaded_qt = str(meta.get("quant_type", "nf4"))
+            if loaded_qt != self.quant_type:
+                warnings.warn(
+                    f"Embedding4bit quant_type mismatch: layer has "
+                    f"quant_type='{self.quant_type}', checkpoint has "
+                    f"quant_type='{loaded_qt}'. Using checkpoint quant_type.",
+                    UserWarning)
+                self.quant_type = loaded_qt
+            self.logical_dim = int(meta.get("logical_dim", self.logical_dim))
+            self.embedding_dim = int(meta.get("embedding_dim",
+                                              self.embedding_dim))
+        w_key = prefix + "weight"
+        if w_key in state_dict:
+            # Full-precision table: re-quantize on load.
+            w = to_jnp(state_dict[w_key])
+            if w.dtype not in (jnp.float16, jnp.float32, jnp.bfloat16):
+                raise ValueError(
+                    f"Embedding4bit: '{w_key}' must be full-precision to "
+                    f"re-quantize on load, got {w.dtype}")
+            self._requantize(w)
+        if prefix + "weight_packed" in state_dict:
+            self.weight_packed = to_jnp(
+                state_dict[prefix + "weight_packed"]).astype(jnp.uint8)
+        if prefix + "weight_absmax" in state_dict:
+            self.weight_absmax = to_jnp(
+                state_dict[prefix + "weight_absmax"]).astype(jnp.float32)
+
     def extra_repr(self):
         return (f"{self.num_embeddings}, {self.embedding_dim}, "
                 f"padding_idx={self.padding_idx}, quant_type={self.quant_type}, "
@@ -153,6 +220,32 @@ class Embedding8bit(Module):
         layer.weight_int8 = w_int8
         layer.weight_scales = w_scales
         return layer
+
+    # --- checkpointing (the Linear4bit protocol, reference
+    # nn/linear4bit.py:245-312, applied to the row-wise INT8 table) --------
+    def state_dict(self, prefix: str = "") -> dict:
+        return {prefix + "weight_int8": self.weight_int8,
+                prefix + "weight_scales": self.weight_scales}
+
+    def load_state_dict(self, state_dict: dict, prefix: str = "") -> None:
+        w_key = prefix + "weight"
+        if w_key in state_dict:
+            # Full-precision table: re-quantize on load.
+            w = to_jnp(state_dict[w_key])
+            if w.dtype not in (jnp.float16, jnp.float32, jnp.bfloat16):
+                raise ValueError(
+                    f"Embedding8bit: '{w_key}' must be full-precision to "
+                    f"re-quantize on load, got {w.dtype}")
+            w_int8, w_scales = quantize_rowwise(w)
+            self.weight_int8 = w_int8
+            self.weight_scales = w_scales.astype(jnp.float32)
+            self.num_embeddings, self.embedding_dim = w.shape
+        if prefix + "weight_int8" in state_dict:
+            self.weight_int8 = to_jnp(
+                state_dict[prefix + "weight_int8"]).astype(jnp.int8)
+        if prefix + "weight_scales" in state_dict:
+            self.weight_scales = to_jnp(
+                state_dict[prefix + "weight_scales"]).astype(jnp.float32)
 
     def extra_repr(self):
         return (f"{self.num_embeddings}, {self.embedding_dim}, "

@@ -101,6 +101,41 @@ class Linear8bit(Module):
         return dequantize_rowwise(self.weight_int8, self.weight_scales,
                                   dtype=self.compute_dtype)
 
+    # --- checkpointing (the Linear4bit protocol, reference
+    # nn/linear4bit.py:245-312, applied to the row-wise INT8 format) -------
+    def state_dict(self, prefix: str = "") -> dict:
+        d = {prefix + "weight_int8": self.weight_int8,
+             prefix + "weight_scales": self.weight_scales}
+        if self.bias is not None:
+            d[prefix + "bias"] = self.bias
+        return d
+
+    def load_state_dict(self, state_dict: dict, prefix: str = "") -> None:
+        w_key = prefix + "weight"
+        if w_key in state_dict:
+            # Full-precision checkpoint (e.g. an fp16 torch Linear state
+            # dict): re-quantize on load.
+            w = to_jnp(state_dict[w_key])
+            if w.dtype not in (jnp.float16, jnp.float32, jnp.bfloat16):
+                raise ValueError(
+                    f"Linear8bit: '{w_key}' must be full-precision to "
+                    f"re-quantize on load, got {w.dtype}")
+            w_int8, w_scales = quantize_rowwise(w)
+            self.weight_int8 = w_int8
+            self.weight_scales = w_scales.astype(jnp.float32)
+            self.clear_cache()
+        if prefix + "weight_int8" in state_dict:
+            self.weight_int8 = to_jnp(
+                state_dict[prefix + "weight_int8"]).astype(jnp.int8)
+            self.clear_cache()
+        if prefix + "weight_scales" in state_dict:
+            self.weight_scales = to_jnp(
+                state_dict[prefix + "weight_scales"]).astype(jnp.float32)
+            self.clear_cache()
+        b_key = prefix + "bias"
+        if b_key in state_dict and self.bias is not None:
+            self.bias = to_jnp(state_dict[b_key]).astype(self.compute_dtype)
+
     def extra_repr(self):
         return (f"in_features={self.in_features}, out_features={self.out_features}, "
                 f"bias={self.bias is not None}")

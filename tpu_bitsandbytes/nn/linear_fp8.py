@@ -56,6 +56,37 @@ class LinearFP8(Module):
         return dequantize_fp8_e4m3(self.weight_fp8, self.weight_scales,
                                    self.compute_dtype)
 
+    # --- checkpointing (the Linear4bit protocol, reference
+    # nn/linear4bit.py:245-312, applied to the E4M3 format) ---------------
+    def state_dict(self, prefix: str = "") -> dict:
+        d = {prefix + "weight_fp8": self.weight_fp8,
+             prefix + "weight_scales": self.weight_scales}
+        if self.bias is not None:
+            d[prefix + "bias"] = self.bias
+        return d
+
+    def load_state_dict(self, state_dict: dict, prefix: str = "") -> None:
+        w_key = prefix + "weight"
+        if w_key in state_dict:
+            # Full-precision checkpoint: re-quantize on load.
+            w = to_jnp(state_dict[w_key])
+            if w.dtype not in (jnp.float16, jnp.float32, jnp.bfloat16):
+                raise ValueError(
+                    f"LinearFP8: '{w_key}' must be full-precision to "
+                    f"re-quantize on load, got {w.dtype}")
+            w_fp8, w_scales = quantize_fp8_e4m3(w)
+            self.weight_fp8 = w_fp8
+            self.weight_scales = w_scales.astype(jnp.float32)
+        if prefix + "weight_fp8" in state_dict:
+            self.weight_fp8 = to_jnp(
+                state_dict[prefix + "weight_fp8"]).astype(jnp.uint8)
+        if prefix + "weight_scales" in state_dict:
+            self.weight_scales = to_jnp(
+                state_dict[prefix + "weight_scales"]).astype(jnp.float32)
+        b_key = prefix + "bias"
+        if b_key in state_dict and self.bias is not None:
+            self.bias = to_jnp(state_dict[b_key]).astype(self.compute_dtype)
+
     def extra_repr(self):
         return (f"in_features={self.in_features}, out_features={self.out_features}, "
                 f"bias={self.bias is not None}, quant_type=fp8_e4m3")

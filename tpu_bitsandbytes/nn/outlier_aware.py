@@ -95,26 +95,83 @@ class OutlierAwareLinear(Module):
         layer = cls(weight.shape[1], weight.shape[0], bias=bias is not None,
                     threshold=threshold, compute_dtype=dtype)
 
+        layer._quantize_from(weight)
+        if bias is not None:
+            layer.bias = to_jnp(bias).astype(dtype)
+        return layer
+
+    def _quantize_from(self, weight) -> None:
+        """Detect outlier columns in a full-precision weight and populate
+        the int8 + fp buffers (the conversion path of the reference,
+        nn/outlier_aware.py:184-207). Shared by from_linear and the
+        re-quantize-on-load checkpoint path."""
+        dtype = self.compute_dtype
         w_np = np.asarray(weight, dtype=np.float32)
         col_max = np.abs(w_np).max(axis=0)
         mean_abs = np.abs(w_np).mean()
-        outlier_idx = np.where(col_max > threshold * mean_abs)[0]
+        outlier_idx = np.where(col_max > self.threshold * mean_abs)[0]
 
         if len(outlier_idx) > 0:
-            layer.outlier_indices = jnp.asarray(outlier_idx, dtype=jnp.int32)
-            layer.outlier_weights = jnp.asarray(
+            self.outlier_indices = jnp.asarray(outlier_idx, dtype=jnp.int32)
+            self.outlier_weights = jnp.asarray(
                 w_np[:, outlier_idx]).astype(dtype)
             w_for_int8 = w_np.copy()
             w_for_int8[:, outlier_idx] = 0.0
         else:
+            self.outlier_indices = jnp.zeros((0,), dtype=jnp.int32)
+            self.outlier_weights = jnp.zeros((self.out_features, 0),
+                                             dtype=dtype)
             w_for_int8 = w_np
 
         w_int8, w_scales = quantize_rowwise(jnp.asarray(w_for_int8))
-        layer.weight_int8 = w_int8
-        layer.weight_scales = w_scales
-        if bias is not None:
-            layer.bias = to_jnp(bias).astype(dtype)
-        return layer
+        self.weight_int8 = w_int8
+        self.weight_scales = w_scales
+
+    # --- checkpointing (the Linear4bit protocol, reference
+    # nn/linear4bit.py:245-312, applied to the mixed int8+outlier format) --
+    def state_dict(self, prefix: str = "") -> dict:
+        d = {prefix + "weight_int8": self.weight_int8,
+             prefix + "weight_scales": self.weight_scales,
+             prefix + "outlier_indices": self.outlier_indices,
+             prefix + "outlier_weights": self.outlier_weights,
+             prefix + "threshold": np.float32(self.threshold)}
+        if self.bias is not None:
+            d[prefix + "bias"] = self.bias
+        return d
+
+    def load_state_dict(self, state_dict: dict, prefix: str = "") -> None:
+        import warnings
+        t_key = prefix + "threshold"
+        if t_key in state_dict:
+            loaded_t = float(np.asarray(state_dict[t_key]))
+            if loaded_t != self.threshold:
+                warnings.warn(
+                    f"OutlierAwareLinear threshold mismatch: layer has "
+                    f"threshold={self.threshold}, checkpoint has "
+                    f"threshold={loaded_t}. Using checkpoint threshold.",
+                    UserWarning)
+                self.threshold = loaded_t
+        w_key = prefix + "weight"
+        if w_key in state_dict:
+            # Full-precision checkpoint: redo outlier detection + quantize.
+            w = to_jnp(state_dict[w_key])
+            if w.dtype not in (jnp.float16, jnp.float32, jnp.bfloat16):
+                raise ValueError(
+                    f"OutlierAwareLinear: '{w_key}' must be full-precision "
+                    f"to re-quantize on load, got {w.dtype}")
+            self._quantize_from(w)
+        for key, dt in (("weight_int8", jnp.int8),
+                        ("weight_scales", jnp.float32),
+                        ("outlier_indices", jnp.int32),
+                        ("outlier_weights", None)):
+            k = prefix + key
+            if k in state_dict:
+                v = to_jnp(state_dict[k])
+                setattr(self, key,
+                        v.astype(dt or self.compute_dtype))
+        b_key = prefix + "bias"
+        if b_key in state_dict and self.bias is not None:
+            self.bias = to_jnp(state_dict[b_key]).astype(self.compute_dtype)
 
     def extra_repr(self):
         return (f"in_features={self.in_features}, out_features={self.out_features}, "

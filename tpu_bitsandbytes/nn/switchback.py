@@ -98,12 +98,52 @@ class SwitchBackLinear(Module):
         layer = cls(weight.shape[1], weight.shape[0], bias=bias is not None,
                     compute_dtype=dtype)
         layer.weight_fp = weight.astype(dtype)
-        w_int8, w_scales = quantize_rowwise(weight)
-        layer.weight_int8 = w_int8
-        layer.weight_scales = w_scales
+        # int8 derives from the MASTER (post-cast) weight, exactly as
+        # sync_weights() re-derives it after an optimizer step — conversion,
+        # sync, and requantize-on-load all agree bit-for-bit.
+        layer.sync_weights()
         if bias is not None:
             layer.bias = to_jnp(bias).astype(dtype)
         return layer
+
+    # --- checkpointing (the Linear4bit protocol, reference
+    # nn/linear4bit.py:245-312; the master fp weight is the source of
+    # truth — the int8 buffers are derived and re-derivable) --------------
+    def state_dict(self, prefix: str = "") -> dict:
+        d = {prefix + "weight_fp": self.weight_fp,
+             prefix + "weight_int8": self.weight_int8,
+             prefix + "weight_scales": self.weight_scales}
+        if self.bias is not None:
+            d[prefix + "bias"] = self.bias
+        return d
+
+    def load_state_dict(self, state_dict: dict, prefix: str = "") -> None:
+        w_key = prefix + "weight"
+        fp_key = prefix + "weight_fp"
+        if w_key in state_dict:
+            # Full-precision (plain nn.Linear) checkpoint: becomes the
+            # master weight; int8 buffers re-derive via sync_weights.
+            w = to_jnp(state_dict[w_key])
+            if w.dtype not in (jnp.float16, jnp.float32, jnp.bfloat16):
+                raise ValueError(
+                    f"SwitchBackLinear: '{w_key}' must be full-precision "
+                    f"to load as the master weight, got {w.dtype}")
+            self.weight_fp = w.astype(self.compute_dtype)
+            self.sync_weights()
+        if fp_key in state_dict:
+            self.weight_fp = to_jnp(state_dict[fp_key]).astype(
+                self.compute_dtype)
+            if prefix + "weight_int8" not in state_dict:
+                self.sync_weights()
+        if prefix + "weight_int8" in state_dict:
+            self.weight_int8 = to_jnp(
+                state_dict[prefix + "weight_int8"]).astype(jnp.int8)
+        if prefix + "weight_scales" in state_dict:
+            self.weight_scales = to_jnp(
+                state_dict[prefix + "weight_scales"]).astype(jnp.float32)
+        b_key = prefix + "bias"
+        if b_key in state_dict and self.bias is not None:
+            self.bias = to_jnp(state_dict[b_key]).astype(self.compute_dtype)
 
     def extra_repr(self):
         return (f"in_features={self.in_features}, out_features={self.out_features}, "
