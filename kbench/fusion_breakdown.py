@@ -26,6 +26,20 @@ from tpu_bitsandbytes.engine.engine import decode_chunk
 from tpu_bitsandbytes.engine.sampler import SamplingArrays
 
 
+def _sig(name, desc):
+    """Group key: the op kind + its result/operand SHAPES, so the 32
+    per-layer clones of one computation (fusion.3555 … fusion.4051) fold
+    into a single row instead of flooding the per-name top list."""
+    import re
+    kind = re.sub(r"[.\d]+$", "", name)
+    if not desc:
+        return kind
+    s = str(desc)
+    # keep result type + the operand types in the arg list head
+    shapes = re.findall(r"\b([a-z]+\d*\[[0-9,]*\])", s.replace(" ", ""))
+    return f"{kind} {' '.join(shapes[:5])}"
+
+
 def dump(log_dir, n_steps, top):
     paths = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
                       recursive=True)
@@ -40,25 +54,32 @@ def dump(log_dir, n_steps, top):
             if ("TPU" in name or "/device:" in name) and "Host" not in name:
                 device_pids.add(e["pid"])
     per_op = {}
-    args_by_op = {}
     total = 0.0
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in device_pids:
             name = e.get("name", "?")
-            if name.startswith("jit_") or name == "while":
+            if name.startswith(("jit_", "while")):
                 continue        # envelopes double-count their bodies
             d = e.get("dur", 0.0)
-            per_op[name] = (per_op.get(name, (0.0, 0))[0] + d,
-                            per_op.get(name, (0.0, 0))[1] + 1)
+            a = e.get("args") or {}
+            key = _sig(name, a.get("long_name") or a.get("tf_op") or "")
+            us, cnt, ex = per_op.get(key, (0.0, 0, name))
+            per_op[key] = (us + d, cnt + 1, ex)
             total += d
-            if e.get("args"):
-                args_by_op[name] = e["args"]
     print(f"device total (sans envelopes) {total/n_steps/1e3:.3f} ms/step")
-    for name, (us, cnt) in sorted(per_op.items(), key=lambda kv: -kv[1][0])[:top]:
-        a = args_by_op.get(name, {})
-        desc = a.get("long_name") or a.get("tf_op") or ""
-        print(f"  {us/n_steps/1e3:8.4f} ms/step x{cnt:4d}  {name[:48]:48s} "
-              f"{str(desc)[:140]}")
+    for key, (us, cnt, ex) in sorted(per_op.items(),
+                                     key=lambda kv: -kv[1][0])[:top]:
+        print(f"  {us/n_steps/1e3:8.4f} ms/step x{cnt:5d}  e.g.{ex[:24]:24s} "
+              f"{key[:150]}")
+
+
+def dump_main(argv):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("log_dir")
+    ap.add_argument("--n-steps", type=int, required=True)
+    ap.add_argument("--top", type=int, default=40)
+    a = ap.parse_args(argv)
+    dump(a.log_dir, a.n_steps, a.top)
 
 
 def main():

@@ -291,12 +291,15 @@ def _token_logprob(logits: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
 def prefill_step_spmd(params, cache: KVCache, tokens: jnp.ndarray,
                       slot: jnp.ndarray, true_len: jnp.ndarray,
                       config: llama.LlamaConfig):
-    """Prefill over GSPMD-sharded params/cache (mesh mode): the fused Pallas
-    path is disabled for this trace because custom calls cannot be
-    auto-partitioned — XLA's fused dequant+GEMM shards cleanly instead."""
-    from ..functional import disable_fused_kernels
-    with disable_fused_kernels():
-        return _prefill_impl(params, cache, tokens, slot, true_len, config)
+    """Prefill over GSPMD-sharded params/cache (mesh mode).
+
+    The fused Pallas matmul is GSPMD-partitionable via
+    ``jax.experimental.custom_partitioning`` (ops/matmul4bit.py
+    ``_make_partitioned``), so this trace needs no special-casing: small-M
+    prefills run the fused kernel per shard, large-M prefills take the
+    measured-faster XLA dequant+GEMM crossover — same dispatch as
+    single-device (functional.matmul_4bit)."""
+    return _prefill_impl(params, cache, tokens, slot, true_len, config)
 
 
 # ---------------------------------------------------------------------------

@@ -164,8 +164,17 @@ def _default_backend() -> str:
 
 
 def has_fused_kernels() -> bool:
-    """True when the Pallas fused kernels can run compiled (TPU backend)."""
-    return _FUSED_ENABLED and _default_backend() == "tpu"
+    """True when the Pallas fused kernels can run compiled (TPU backend).
+
+    ``TBNB_FUSED_INTERPRET=1`` additionally enables them OFF-TPU in Pallas
+    interpret mode — slow, but it lets CPU-mesh validation (the multichip
+    dryrun, sharding tests) drive the GSPMD-partitioned fused path for real
+    instead of the unfused fallback."""
+    if not _FUSED_ENABLED:
+        return False
+    import os
+    return (_default_backend() == "tpu"
+            or os.environ.get("TBNB_FUSED_INTERPRET") == "1")
 
 
 def _warn_native_fallback(operation: str) -> None:

@@ -127,26 +127,128 @@ def _dequant_planes(packed2d, absmaxT, blocksize, quant_type):
     return vlo, vhi
 
 
+def _aligned_dispatch(xe, xo, packed2d, absmaxT, *, blocksize: int,
+                      quant_type: str, out_dtype_name: str,
+                      mxu_dtype_name: str, lut_mode: str, exact: bool):
+    """Tile-select + pad + invoke the Pallas kernel; returns exact [m, n].
+
+    Runs on whatever shapes it is traced with — the GLOBAL arrays in the
+    single-device path, or one device's LOCAL shard inside the GSPMD
+    partition body (tile selection and padding are trace-time Python over
+    static local shapes, so every shard tiles itself correctly).
+    """
+    mxu_dtype = jnp.dtype(mxu_dtype_name)
+    m, k2 = xe.shape
+    n = packed2d.shape[0]
+    bs2 = blocksize // 2
+
+    tiles = _select_tiles(m, n, k2, bs2, mxu_dtype)
+    if tiles is None:
+        # Unfriendly N: pad rows to a lane multiple (copies weight — only on
+        # the generic functional path; modules pre-align their layouts).
+        n_pad = _round_up(n, 128)
+        packed2d = jnp.pad(packed2d, ((0, n_pad - n), (0, 0)))
+        absmaxT = jnp.pad(absmaxT, ((0, 0), (0, n_pad - n)))
+        tiles = _select_tiles(m, n_pad, k2, bs2, mxu_dtype)
+        if tiles is None:
+            raise NotImplementedError("no valid tiling for this shape")
+    m_pad, m_t, n_t, k2_t = tiles
+    if m_pad != m:
+        xe = jnp.pad(xe, ((0, m_pad - m), (0, 0)))
+        xo = jnp.pad(xo, ((0, m_pad - m), (0, 0)))
+    out = _fused_matmul_4bit_fwd_impl(
+        xe, xo, packed2d, absmaxT, blocksize=blocksize,
+        quant_type=quant_type, out_dtype=jnp.dtype(out_dtype_name),
+        mxu_dtype=mxu_dtype, lut_mode=lut_mode, m_t=m_t, n_t=n_t,
+        k2_t=k2_t, exact=exact)
+    return out[:m, :n]
+
+
+def _spec_dim(sharding, i):
+    """Axis name(s) sharding dimension ``i`` of a NamedSharding, else None."""
+    spec = getattr(sharding, "spec", None)
+    if spec is None or i >= len(spec):
+        return None
+    return spec[i]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_partitioned(blocksize: int, quant_type: str, out_dtype_name: str,
+                      mxu_dtype_name: str, lut_mode: str, exact: bool):
+    """GSPMD-partitionable fused matmul (VERDICT r3 #5).
+
+    ``jax.experimental.custom_partitioning`` teaches the partitioner how to
+    shard the opaque Pallas call, so plain ``jax.jit`` over NamedSharding'd
+    quantized params runs the fused kernel per shard instead of silently
+    materializing dequantized weights (the old ``disable_fused_kernels``
+    route). Supported shardings: M (data-parallel activations) and N
+    (column-parallel weights — packed dim 0, absmaxT dim 1) partition
+    freely; the contraction factors (K2 phases, absmax blocks) are declared
+    need-replication, so a K-sharded weight is all-gathered by the
+    partitioner first (correct, not fast — the engine's shard_map TP path
+    remains the hand-scheduled fast path for row-parallel layouts).
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kwargs = dict(blocksize=blocksize, quant_type=quant_type,
+                  out_dtype_name=out_dtype_name,
+                  mxu_dtype_name=mxu_dtype_name, lut_mode=lut_mode,
+                  exact=exact)
+
+    fn = custom_partitioning(
+        lambda xe, xo, packed2d, absmaxT:
+        _aligned_dispatch(xe, xo, packed2d, absmaxT, **kwargs))
+
+    def _dims(arg_infos):
+        m_ax = _spec_dim(arg_infos[0].sharding, 0)
+        n_ax = _spec_dim(arg_infos[2].sharding, 0)
+        return m_ax, n_ax
+
+    def infer(mesh, arg_infos, result_infos):
+        m_ax, n_ax = _dims(arg_infos)
+        return NamedSharding(mesh, P(m_ax, n_ax))
+
+    def partition(mesh, arg_infos, result_infos):
+        m_ax, n_ax = _dims(arg_infos)
+        arg_shardings = (
+            NamedSharding(mesh, P(m_ax, None)),      # xe
+            NamedSharding(mesh, P(m_ax, None)),      # xo
+            NamedSharding(mesh, P(n_ax, None)),      # packed2d
+            NamedSharding(mesh, P(None, n_ax)),      # absmaxT
+        )
+        out_sharding = NamedSharding(mesh, P(m_ax, n_ax))
+
+        def lower(xe, xo, packed2d, absmaxT):
+            return _aligned_dispatch(xe, xo, packed2d, absmaxT, **kwargs)
+
+        return mesh, lower, out_sharding, arg_shardings
+
+    fn.def_partition(
+        partition, infer_sharding_from_operands=infer,
+        # factors: m=rows, k=K2 phase lanes, n=weight rows, b=absmax blocks
+        sharding_rule="m k, m k, n k, b n -> m n",
+        need_replication_factors=("k", "b"))
+    return fn
+
+
 @functools.lru_cache(maxsize=None)
 def _make_fused_aligned(blocksize: int, quant_type: str, out_dtype_name: str,
-                        mxu_dtype_name: str, lut_mode: str, m_t: int,
-                        n_t: int, k2_t: int, exact: bool):
+                        mxu_dtype_name: str, lut_mode: str, exact: bool):
     """custom_vjp-wrapped fused matmul for one static config.
 
     pallas_call has no AD rule, but QLoRA training differentiates through
     frozen quantized linears — the backward pass computes d_x against the
     XLA-dequantized weight planes (weights are frozen integer state and get
-    zero cotangents). Static config is closed over (custom_vjp over plain
-    array args only).
+    zero cotangents, and the XLA ops partition natively under GSPMD).
+    Static config is closed over (custom_vjp over plain array args only).
     """
-    kwargs = dict(blocksize=blocksize, quant_type=quant_type,
-                  out_dtype=jnp.dtype(out_dtype_name),
-                  mxu_dtype=jnp.dtype(mxu_dtype_name), lut_mode=lut_mode,
-                  m_t=m_t, n_t=n_t, k2_t=k2_t, exact=exact)
+    inner = _make_partitioned(blocksize, quant_type, out_dtype_name,
+                              mxu_dtype_name, lut_mode, exact)
 
     @jax.custom_vjp
     def f(xe, xo, packed2d, absmaxT):
-        return _fused_matmul_4bit_fwd_impl(xe, xo, packed2d, absmaxT, **kwargs)
+        return inner(xe, xo, packed2d, absmaxT)
 
     x_dtype = jnp.dtype(mxu_dtype_name)  # the wrapper casts x to mxu dtype
 
@@ -275,34 +377,20 @@ def fused_matmul_4bit(
     absmaxT = absmax.reshape(n, k_padded // blocksize).astype(jnp.float32).T
     packed2d = packed_flat.reshape(n, k2)
 
-    m = x.shape[0]
     x = x.astype(jnp.float32) if mxu_dtype == jnp.float32 else x.astype(mxu_dtype)
     if k_padded != k:
         x = jnp.pad(x, ((0, 0), (0, k_padded - k)))
     xe = x[:, 0::2]
     xo = x[:, 1::2]
 
-    tiles = _select_tiles(m, n, k2, bs2, mxu_dtype)
-    if tiles is None:
-        # Unfriendly N: pad rows to a lane multiple (copies weight — only on
-        # the generic functional path; modules pre-align their layouts).
-        n_pad = _round_up(n, 128)
-        packed2d = jnp.pad(packed2d, ((0, n_pad - n), (0, 0)))
-        absmaxT = jnp.pad(absmaxT, ((0, 0), (0, n_pad - n)))
-        tiles = _select_tiles(m, n_pad, k2, bs2, mxu_dtype)
-        if tiles is None:
-            raise NotImplementedError("no valid tiling for this shape")
-        m_pad, m_t, n_t, k2_t = tiles
-        out_n = n_pad
-    else:
-        m_pad, m_t, n_t, k2_t = tiles
-        out_n = n
-    if m_pad != m:
-        xe = jnp.pad(xe, ((0, m_pad - m), (0, 0)))
-        xo = jnp.pad(xo, ((0, m_pad - m), (0, 0)))
+    # Validate tilability on the GLOBAL shape up front so the caller's
+    # NotImplementedError fallback fires before any custom-call is staged.
+    if (_select_tiles(x.shape[0], n, k2, bs2, mxu_dtype) is None
+            and _select_tiles(x.shape[0], _round_up(n, 128), k2, bs2,
+                              mxu_dtype) is None):
+        raise NotImplementedError("no valid tiling for this shape")
 
     fn = _make_fused_aligned(
         blocksize, quant_state.quant_type, jnp.dtype(quant_state.dtype).name,
-        jnp.dtype(mxu_dtype).name, lut_mode, m_t, n_t, k2_t, exact)
-    out = fn(xe, xo, packed2d, absmaxT)
-    return out[:m, :n]
+        jnp.dtype(mxu_dtype).name, lut_mode, exact)
+    return fn(xe, xo, packed2d, absmaxT)
