@@ -1236,3 +1236,38 @@ class TestWarmupPlan:
         e.generate([list(rng.integers(0, cfg.vocab_size, 100))],
                    SamplingParams(max_new_tokens=3))
         assert seen and set(seen) <= pairs
+
+
+class TestRuntimeCacheAuto:
+    """runtime_cache="auto": exec-format-per-HBM-budget (VERDICT r3 #2)."""
+
+    def test_auto_picks_int8_when_it_fits(self, tiny_model):
+        cfg, params = tiny_model
+        qparams = llama.quantize_params(params)
+        eng = DecodeEngine(qparams, cfg, max_batch=1, max_seq=64,
+                           runtime_cache="auto")
+        from tpu_bitsandbytes.models.layers import QLinear4
+        leaves = [l for l in jax.tree_util.tree_leaves(
+            eng.params, is_leaf=lambda x: isinstance(x, QLinear4))
+            if isinstance(l, QLinear4)]
+        assert leaves and all(l.w_cache is not None
+                              and l.w_cache.dtype == jnp.int8
+                              for l in leaves)
+
+    def test_auto_falls_back_to_packed_when_over_budget(self, tiny_model,
+                                                        monkeypatch):
+        cfg, params = tiny_model
+        qparams = llama.quantize_params(params)
+        from tpu_bitsandbytes.utils import metrics
+        shrunk = dict(metrics.CHIP_SPECS)
+        shrunk["v5e"] = dict(shrunk["v5e"], hbm_gib=1e-6)   # nothing fits
+        monkeypatch.setattr(metrics, "CHIP_SPECS", shrunk)
+        with pytest.warns(UserWarning, match="W4A8"):
+            eng = DecodeEngine(qparams, cfg, max_batch=1, max_seq=64,
+                               runtime_cache="auto")
+        from tpu_bitsandbytes.models.layers import QLinear4
+        leaves = [l for l in jax.tree_util.tree_leaves(
+            eng.params, is_leaf=lambda x: isinstance(x, QLinear4))
+            if isinstance(l, QLinear4)]
+        assert leaves and all(l.w_cache is None and l.packed is not None
+                              for l in leaves)

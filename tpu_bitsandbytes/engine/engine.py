@@ -391,7 +391,11 @@ class DecodeEngine:
         device runs that many steps in one jitted chunk; admission of queued
         requests happens between chunks). 1 restores per-token stepping.
         ``runtime_cache``: "int8"/"bf16" builds the execution cache on the
-        quantized params (see models.llama.build_runtime_cache).
+        quantized params (see models.llama.build_runtime_cache); "auto"
+        picks int8 when it fits the chip's HBM alongside KV + activations
+        (drop_packed serving mode counts) and otherwise serves off the
+        packed NF4 bytes — where QLinear4 dispatches decode-shaped matmuls
+        to the W4A8 packed-bytes kernel (ops/w4a8.py).
         ``speculative``: "ngram" enables prompt-lookup speculative decoding
         (engine/speculative.py) for all-greedy batches on single-device
         meshes; output stays token-identical to plain greedy decoding.
@@ -443,6 +447,28 @@ class DecodeEngine:
                 f"{self.max_seq} (window + in-flight slack leaves nothing "
                 f"to roll) — drop ring_kv= or raise max_seq")
         self.spec_stats = {"verify_steps": 0, "drafted": 0, "accepted": 0}
+        if runtime_cache == "auto":
+            # exec-format-per-HBM-budget (VERDICT r3 #2): the int8 execution
+            # cache is the fastest decode format (~750 GB/s XLA convert+dot)
+            # but doubles weight bytes; when even drop_packed can't fit it,
+            # serve straight off the packed NF4 bytes — QLinear4 routes
+            # decode-shaped matmuls to the W4A8 kernel (ops/w4a8.py).
+            est = self._footprint_est(params, "int8", quantized_kv)
+            est["packed"] = 0          # cache-only serving (drop_packed)
+            est["total"] = sum(v for k, v in est.items()
+                               if k in ("exec_cache", "fp", "kv",
+                                        "activations_est"))
+            if est["total"] <= 0.92 * est["budget"]:
+                runtime_cache = "int8"
+            else:
+                import warnings
+                warnings.warn(
+                    "tpu-bitsandbytes: int8 execution cache does not fit "
+                    f"HBM ({est['total'] / 2**30:.1f} GiB > "
+                    f"{0.92 * est['budget'] / 2**30:.1f} GiB even with "
+                    "drop_packed) — serving off packed NF4 bytes (W4A8 "
+                    "decode kernel)")
+                runtime_cache = None
         if runtime_cache:
             dp_flag = drop_packed
             if dp_flag == "auto":

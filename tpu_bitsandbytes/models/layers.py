@@ -183,10 +183,39 @@ class QLinear4:
                 out = out + self.bias.astype(out.dtype)
             out = out.astype(self.dtype)
         else:
-            from ..functional import matmul_4bit
-            out = matmul_4bit(x2, self.packed.reshape(-1), self.quant_state(),
-                              bias=self.bias, compute_dtype=self.dtype)
+            out = None
+            if self._w4a8_ok(x2):
+                # packed-bytes decode path (W4A8, ops/w4a8.py): streams the
+                # NF4 nibbles at 0.5 B/param — the HBM-constrained execution
+                # format when the int8 cache does not fit (13B on 16 GB).
+                from ..ops.w4a8 import w4a8_matmul_4bit
+                try:
+                    out = w4a8_matmul_4bit(
+                        x2, self.packed.reshape(-1), self.quant_state(),
+                        bias=self.bias, out_dtype=self.dtype)
+                except NotImplementedError:
+                    out = None
+            if out is None:
+                from ..functional import matmul_4bit
+                out = matmul_4bit(x2, self.packed.reshape(-1),
+                                  self.quant_state(), bias=self.bias,
+                                  compute_dtype=self.dtype)
         return out.reshape(*orig_shape[:-1], self.shape[0])
+
+    def _w4a8_ok(self, x2) -> bool:
+        """Route decode-shaped packed matmuls to the W4A8 kernel: TPU
+        backend (or TBNB_W4A8_INTERPRET=1 for CPU differential tests),
+        NF4, small M. The A8 row quantization is lossy in the same class
+        as the int8 KV cache / execution cache (<=0.8% rel on activations);
+        TBNB_W4A8=0 restores the exact bf16-prescale kernel."""
+        import os
+        from ..ops.w4a8 import w4a8_enabled
+        if not w4a8_enabled() or self.quant_type != "nf4":
+            return False
+        if (jax.default_backend() != "tpu"
+                and os.environ.get("TBNB_W4A8_INTERPRET") != "1"):
+            return False
+        return x2.shape[0] <= 64
 
 
 def linear_apply(w, x):
