@@ -65,3 +65,7 @@ def test_two_process_pod_decode_and_qlora():
             f"process {pid} failed (rc={p.returncode}):\n{out[-4000:]}")
         assert f"MULTIHOST OK pid={pid}" in out, out[-4000:]
         assert "dp=2 tp=4" in out, out[-2000:]
+        # continuous-batching engine across the pod (VERDICT r3 #7):
+        # generate() over the 2-process mesh, token-identical to the
+        # per-process local engine
+        assert f"MULTIHOST ENGINE OK pid={pid}" in out, out[-4000:]

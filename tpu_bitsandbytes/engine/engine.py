@@ -530,6 +530,7 @@ class DecodeEngine:
         self.finished: List[Request] = []
         from ..utils.metrics import MetricsLogger
         self.metrics = MetricsLogger()
+        self._replicate = None      # lazy multi-process readback gather
 
     # -- HBM budget accounting --------------------------------------------
     def _footprint_from(self, pf: dict, quantized_kv: bool,
@@ -895,6 +896,25 @@ class DecodeEngine:
             active_mask[slot] = True
         return tokens, active_mask
 
+    def _host_read(self, x):
+        """Chunk-output readback. Under a multi-PROCESS mesh the chunk's
+        dp-sharded outputs ([steps, B] tokens/actives) are not fully
+        addressable from any one host — replicate them first (a jitted
+        identity whose out_sharding is P(); XLA lowers it to a tiny
+        all-gather over the dp axis, DCN in a real pod). Single-process
+        meshes and plain arrays read back directly."""
+        if x is None:
+            return None
+        if (isinstance(x, jax.Array) and self.mesh is not None
+                and not x.is_fully_addressable):
+            if self._replicate is None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self._replicate = jax.jit(
+                    lambda a: a,
+                    out_shardings=NamedSharding(self.mesh, P()))
+            x = self._replicate(x)
+        return np.asarray(x)
+
     def _collect_chunk(self, toks_seq, act_seq,
                        lp_seq=None) -> "tuple[int, bool]":
         """Pull one chunk's emissions to the host and feed the bookkeeping.
@@ -902,10 +922,10 @@ class DecodeEngine:
         Emissions for slots whose request already finished (device keeps
         decoding a slot the host retired mid-pipeline) are discarded by the
         ``req is None`` guard. Returns (n_emitted, any_request_finished)."""
-        toks_seq = np.asarray(toks_seq)
-        act_seq = np.asarray(act_seq)
+        toks_seq = self._host_read(toks_seq)
+        act_seq = self._host_read(act_seq)
         if lp_seq is not None:
-            lp_seq = np.asarray(lp_seq)
+            lp_seq = self._host_read(lp_seq)
         finished_before = len(self.finished)
         emitted = 0
         for i in range(toks_seq.shape[0]):
