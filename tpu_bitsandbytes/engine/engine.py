@@ -422,9 +422,6 @@ class DecodeEngine:
         self.steps_per_sync = max(1, int(steps_per_sync))
         if speculative not in (None, "ngram"):
             raise ValueError(f"unknown speculative mode: {speculative!r}")
-        if speculative is not None and mesh is not None:
-            raise ValueError("speculative decoding is single-device only; "
-                             "drop speculative= or mesh=")
         self.speculative = speculative
         self.spec_gamma = int(spec_gamma)
         if prefill_chunk is not None and prefill_chunk < 16:
@@ -516,12 +513,19 @@ class DecodeEngine:
             self._tp_prefill_chunk = make_tp_prefill_chunk(
                 mesh, self.params, config, cache)
             self._tp_final = make_tp_final_logits(mesh, self.params, config)
+            if speculative is not None:
+                from ..parallel.tp import make_tp_verify_step
+                self._tp_verify = make_tp_verify_step(mesh, self.params,
+                                                      config, cache)
+            else:
+                self._tp_verify = None
         else:
             self.params = params
             self._tp_decode = None
             self._tp_prefill = None
             self._tp_prefill_chunk = None
             self._tp_final = None
+            self._tp_verify = None
         self.cache = cache
         self.key = jax.random.PRNGKey(seed)
         self._uid = 0
@@ -979,28 +983,15 @@ class DecodeEngine:
         t0 = _time.perf_counter()
         all_greedy = all(self.active[s].params.temperature <= 0
                          for s in self.active)
-        if self._tp_decode is not None:
-            # mesh path: chunked shard_map decode, sampling on device
-            samp = SamplingArrays.build(
-                {s: r.params for s, r in self.active.items()}, self.max_batch)
-            want_lp = any(r.params.logprobs for r in self.active.values())
-            self.key, sub = jax.random.split(self.key)
-            a_start, span = self._attn_window()
-            toks_seq, act_seq, self.cache, _, _, lp_seq, _ = self._tp_decode(
-                self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(active_mask), sub, samp, self._mesh_seen_mask(),
-                all_greedy=all_greedy, attn_span=span, attn_start=a_start,
-                want_logprobs=want_lp)
-            emitted, _ = self._collect_chunk(toks_seq, act_seq,
-                                             lp_seq if want_lp else None)
-            self.metrics.record(emitted, _time.perf_counter() - t0)
-            return bool(self.waiting or self.active)
 
-        # speculative path: one verify step scores gamma drafts + 1 bonus
-        # token per slot in a single forward. Greedy slots accept by exact
-        # match (token-identical to plain greedy); sampled slots use
-        # distribution-preserving rejection acceptance. Falls back to the
-        # chunked path for penalty/logprobs or without sequence headroom.
+        # speculative path (single-device AND mesh — the verify step is an
+        # S=gamma+1 decode; under a mesh it runs through the shard_map
+        # verify, see parallel.tp.make_tp_verify_step): one verify step
+        # scores gamma drafts + 1 bonus token per slot in a single forward.
+        # Greedy slots accept by exact match (token-identical to plain
+        # greedy); sampled slots use distribution-preserving rejection
+        # acceptance. Falls back to the chunked path for penalty/logprobs
+        # or without sequence headroom.
         if (self.speculative == "ngram"
                 and not self._needs_seen_mask()
                 and not any(r.params.logprobs
@@ -1023,6 +1014,23 @@ class DecodeEngine:
             self.metrics.record(n_emit, _time.perf_counter() - t0)
             return bool(self.waiting or self.active)
 
+        if self._tp_decode is not None:
+            # mesh path: chunked shard_map decode, sampling on device
+            samp = SamplingArrays.build(
+                {s: r.params for s, r in self.active.items()}, self.max_batch)
+            want_lp = any(r.params.logprobs for r in self.active.values())
+            self.key, sub = jax.random.split(self.key)
+            a_start, span = self._attn_window()
+            toks_seq, act_seq, self.cache, _, _, lp_seq, _ = self._tp_decode(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(active_mask), sub, samp, self._mesh_seen_mask(),
+                all_greedy=all_greedy, attn_span=span, attn_start=a_start,
+                want_logprobs=want_lp)
+            emitted, _ = self._collect_chunk(toks_seq, act_seq,
+                                             lp_seq if want_lp else None)
+            self.metrics.record(emitted, _time.perf_counter() - t0)
+            return bool(self.waiting or self.active)
+
         # single-device path: n steps per host sync, sampling on device
         samp = SamplingArrays.build(
             {s: r.params for s, r in self.active.items()}, self.max_batch)
@@ -1043,7 +1051,10 @@ class DecodeEngine:
 
     def _speculative_step(self, tokens, active_mask):
         """One prompt-lookup verify: propose drafts per slot on the host,
-        score them in a single jitted forward, return (emitted, counts)."""
+        score them in a single jitted forward, return (emitted, counts).
+        Under a mesh the forward is the shard_map verify step
+        (parallel.tp.make_tp_verify_step) — same acceptance rule, drafts
+        proposed on the host exactly as single-device."""
         from .speculative import propose_ngram, verify_step
         g = self.spec_gamma
         drafts = np.zeros((self.max_batch, g), np.int32)
@@ -1063,11 +1074,17 @@ class DecodeEngine:
         samp = SamplingArrays.build(
             {s: r.params for s, r in self.active.items()}, self.max_batch)
         self.key, sub = jax.random.split(self.key)
-        emitted, counts, self.cache = verify_step(
-            self.params, self.cache, jnp.asarray(toks.astype(np.int32)),
-            jnp.asarray(active_mask), sub, samp, self.config, attn_span=span)
-        emitted = np.asarray(emitted)
-        counts = np.asarray(counts)
+        if self._tp_verify is not None:
+            emitted, counts, self.cache = self._tp_verify(
+                self.params, self.cache, jnp.asarray(toks.astype(np.int32)),
+                jnp.asarray(active_mask), sub, samp, attn_span=span)
+        else:
+            emitted, counts, self.cache = verify_step(
+                self.params, self.cache, jnp.asarray(toks.astype(np.int32)),
+                jnp.asarray(active_mask), sub, samp, self.config,
+                attn_span=span)
+        emitted = self._host_read(emitted)
+        counts = self._host_read(counts)
         self.spec_stats["verify_steps"] += 1
         self.spec_stats["accepted"] += int(np.clip(counts - 1, 0, None).sum())
         return emitted, counts

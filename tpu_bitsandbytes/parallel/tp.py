@@ -180,6 +180,91 @@ def _tp_decode_chunk_impl(params, cache: KVCache, tokens, active, key, samp,
     return toks_seq, act_seq, cache, tokens, active, lp_seq, seen_mask
 
 
+def _tp_verify_impl(params, cache: KVCache, tokens, active, key, samp,
+                    config: llama.LlamaConfig, attn_span=None,
+                    tp_axis: str = "tp", dp_axis: str = "dp"):
+    """Per-device speculative-verify body (inside shard_map).
+
+    The verify step is just an S=gamma+1 decode (VERDICT r3 #8 / the
+    single-device engine.speculative._verify_impl) run on local TP shards:
+    tokens [B_local, G1] = [last emitted, G drafts] per dp-local slot, the
+    same per-layer psum schedule as _tp_decode_impl, the lm_head all_gather
+    over ALL G1 positions, then the pure acceptance rule
+    (speculative.accept_and_emit — greedy rows token-identical to plain
+    greedy; sampled rows rejection-accepted). ``key`` is replicated and
+    dp-folded so sampled rows draw independent streams per dp group.
+    """
+    b, g1 = tokens.shape
+    tp = jax.lax.psum(1, tp_axis)
+    n_heads = config.num_heads // tp
+    n_kv = config.num_kv_heads // tp
+    key = jax.random.fold_in(key, jax.lax.axis_index(dp_axis))
+
+    base = cache.lengths
+    positions = base[:, None] + jnp.arange(g1)[None, :]
+    x, cos, sin = llama.decode_embed_and_rope(params, tokens, positions,
+                                              config)
+
+    def wrap(w, row=False):
+        return _localize(w, strip_bias=row)
+
+    def reduce_fn(part, w):
+        full = jax.lax.psum(part, tp_axis)
+        bias = _row_bias(w)
+        return full if bias is None else full + bias.astype(full.dtype)
+
+    for li, layer in enumerate(params["layers"]):
+        x, cache = llama.decode_layer(
+            layer, x, cos, sin, positions, cache, li, config,
+            n_heads=n_heads, n_kv=n_kv, wrap=wrap, reduce_fn=reduce_fn,
+            attn_span=attn_span)
+
+    x = llama._norm(x, params["final_norm"], config)
+    head = params.get("lm_head", None)
+    if head is None:
+        logits = x @ params["embed"].T.astype(x.dtype)     # [B, G1, V]
+    else:
+        local = linear_apply(_localize(head), x)           # [B, G1, V/tp]
+        logits = jax.lax.all_gather(local, tp_axis, axis=2, tiled=True)
+    logits = llama.finish_logits(logits, config)
+
+    from ..engine.speculative import accept_and_emit
+    emitted, n_acc = accept_and_emit(logits, tokens, key, samp)
+    counts = jnp.where(active, n_acc + 1, 0).astype(jnp.int32)
+    cache = dataclasses.replace(cache, lengths=base + counts)
+    return emitted, counts, cache
+
+
+def make_tp_verify_step(mesh: Mesh, params, config: llama.LlamaConfig,
+                        cache: KVCache):
+    """Build the jitted shard_map'ed speculative verify step (mesh mode).
+
+    Returns ``fn(params, cache, tokens [B, G1], active [B], key, samp,
+    attn_span=...)`` → (emitted [B, G1], counts [B], cache) with the same
+    contract as engine.speculative.verify_step; tokens/active/samp are
+    dp-sharded, emitted/counts come back dp-sharded (engine._host_read
+    gathers them under multi-process meshes).
+    """
+    from ..engine.sampler import SamplingArrays
+    pspecs = llama_param_specs(params)
+    cspec = kv_cache_spec(cache)
+    samp_spec = SamplingArrays(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"))
+
+    @partial(jax.jit, static_argnames=("attn_span",), donate_argnums=(1,))
+    def step(params, cache, tokens, active, key, samp, attn_span=None):
+        fn = shard_map(
+            partial(_tp_verify_impl, config=config, attn_span=attn_span),
+            mesh=mesh,
+            in_specs=(pspecs, cspec, P("dp", None), P("dp"), P(),
+                      samp_spec),
+            out_specs=(P("dp", None), P("dp"), cspec),
+            check_vma=False,
+        )
+        return fn(params, cache, tokens, active, key, samp)
+
+    return step
+
+
 def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
                      config: llama.LlamaConfig, tp_axis: str = "tp",
                      dp_axis: str = "dp"):
