@@ -8,12 +8,16 @@ absolute numbers (BASELINE.md), so the baseline is the HBM roofline computed
 from the bytes the decode step ACTUALLY reads (summed from the param leaves
 and the KV cache the implementation touches), per BASELINE.md's derivation.
 
-Execution path (see KERNEL_NOTES.md round-2): NF4 is the storage format;
-decode runs on the int8 runtime execution cache by default — XLA's
-convert+dot rides at ~750 GB/s (91%% of v5e roofline) where every in-kernel
-4-bit decode formulation measures >=4x slower (kbench/probe2). Use
-``--runtime-cache none`` for the pure fused-Pallas NF4 path, ``bf16`` for
-the exact-numerics cache.
+Execution path (KERNEL_NOTES.md rounds 2-4): NF4 is the storage format;
+the bench decodes on the **int4 runtime execution cache** by default
+(ops/int4cache.py, round 4) — native S4 weights stream at ~650 GB/s on
+exactly the 0.5 B/param the BASELINE.md roofline is defined on, 2x the
+int8 cache's byte tax. It requantizes to FP4-class int4-linear per
+64-block (measured proxy ppl +0.46% vs fp32; the int8 cache measures
++0.34% — tests/test_ppl_gate.py). ``--runtime-cache int8`` is the
+accuracy-first library default (~750 GB/s on 1 B/param, what
+DecodeEngine's "auto" picks); ``none`` streams the packed NF4 bytes
+through the W4A8 kernel (exact-NF4 class); ``bf16`` is the exact cache.
 
 Weights are random-initialized *directly in packed form* on-device (a real
 7B fp32 init would not fit HBM and adds nothing to a throughput bench).
@@ -230,9 +234,18 @@ def main():
                     help="timed measurement groups (median/IQR over these)")
     ap.add_argument("--context", type=int, default=128)
     ap.add_argument("--max-seq", type=int, default=512)
-    ap.add_argument("--runtime-cache", default="int8",
-                    choices=["int8", "bf16", "none"],
-                    help="execution format for the NF4 weights")
+    ap.add_argument("--runtime-cache", default="int4",
+                    choices=["int8", "int4", "bf16", "none"],
+                    help="execution format for the NF4 weights. Default "
+                         "int4 (0.5 B/param S4 cache, ops/int4cache.py): "
+                         "reads exactly the NF4-storage bytes the "
+                         "BASELINE.md roofline is defined on, ~2x the "
+                         "int8-cache decode throughput; it REQUANTIZES to "
+                         "FP4-class int4-linear per 64-block (proxy ppl "
+                         "+0.46%% vs fp32, int8 cache +0.34%% — "
+                         "tests/test_ppl_gate.py). int8 = the "
+                         "accuracy-first library default "
+                         "(DecodeEngine runtime_cache='auto').")
     ap.add_argument("--ring-kv", action="store_true",
                     help="rolling KV buffer (fully-windowed models only, "
                          "e.g. --model mistral-7b): O(window) KV regardless "
@@ -436,6 +449,8 @@ def main():
         "bytes_per_token_exec_gb": round(bpt / 1e9, 4),
         "bytes_per_token_nf4_gb": round(bpt_nf4 / 1e9, 4),
         "wall_tokens_per_sec": round(wall_tok_s, 2),
+        "runtime_cache": args.runtime_cache,
+        "batch": args.batch,
     }))
 
 

@@ -64,6 +64,19 @@ class TestPplGate:
         ppl_q = proxy.teacher_forced_ppl(qc, cfg, ev)
         assert abs(ppl_q / ppl_fp - 1) <= GATE_REL, (ppl_fp, ppl_q)
 
+    def test_int4_runtime_cache_within_fp4_class_gate(self, trained_proxy):
+        """The int4 execution cache REQUANTIZES the NF4 weight to symmetric
+        int4-linear per 64-block (FP4-class resolution, ~1.5x NF4's RMS) —
+        a documented accuracy/speed tradeoff (ops/int4cache.py), so its
+        gate is 3x the nf4/int8 gate. teacher_forced_ppl runs at M > 64 so
+        this measures the XLA dequant path's numerics; the decode kernel's
+        A8 arithmetic is oracle-tested in tests/test_int4_cache.py."""
+        cfg, params, ev, ppl_fp = trained_proxy
+        q = llama.quantize_params(params, blocksize=64, dtype=jnp.float32)
+        qc = llama.build_runtime_cache(q, "int4")
+        ppl_q = proxy.teacher_forced_ppl(qc, cfg, ev)
+        assert abs(ppl_q / ppl_fp - 1) <= 3 * GATE_REL, (ppl_fp, ppl_q)
+
     def test_quantized_kv_decode_within_gate(self, trained_proxy):
         """KV-cache int8 quantization impact, measured through the decode
         path (the forward-only ppl cannot see it)."""

@@ -390,12 +390,16 @@ class DecodeEngine:
         ``steps_per_sync``: decode tokens generated per host round-trip (the
         device runs that many steps in one jitted chunk; admission of queued
         requests happens between chunks). 1 restores per-token stepping.
-        ``runtime_cache``: "int8"/"bf16" builds the execution cache on the
-        quantized params (see models.llama.build_runtime_cache); "auto"
-        picks int8 when it fits the chip's HBM alongside KV + activations
-        (drop_packed serving mode counts) and otherwise serves off the
-        packed NF4 bytes — where QLinear4 dispatches decode-shaped matmuls
-        to the W4A8 packed-bytes kernel (ops/w4a8.py).
+        ``runtime_cache``: "int8"/"int4"/"bf16" builds the execution cache
+        on the quantized params (see models.llama.build_runtime_cache);
+        "auto" picks int8 when it fits the chip's HBM alongside KV +
+        activations (drop_packed serving mode counts) and otherwise serves
+        off the packed NF4 bytes — where QLinear4 dispatches decode-shaped
+        matmuls to the W4A8 packed-bytes kernel (ops/w4a8.py). "int4"
+        (opt-in, never auto-picked: it requantizes to FP4-class int4-linear
+        per 64-block) streams 0.5 B/param at ~650 GB/s — ~2x int8-cache
+        decode throughput and the fastest in-HBM format for 13B-class
+        models on one chip (ops/int4cache.py).
         ``speculative``: "ngram" enables prompt-lookup speculative decoding
         (engine/speculative.py) for all-greedy batches on single-device
         meshes; output stays token-identical to plain greedy decoding.
@@ -489,6 +493,12 @@ class DecodeEngine:
             config.num_layers, max_batch, self.max_seq, config.num_kv_heads,
             config.hd, quantized=quantized_kv, dtype=config.dtype,
             ring_size=self.ring_size)
+        if mesh is not None and runtime_cache == "int4":
+            # jax 0.9 S4 layout-reconcile bug (ops/int4cache.py docstring):
+            # device_put of s4 leaves under a NamedSharding recurses. The
+            # int8 cache shards fine; lift this once jax fixes S4 layouts.
+            raise ValueError("runtime_cache='int4' is single-device for "
+                             "now — use 'int8' under a mesh")
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel import (shard_params, kv_cache_spec,

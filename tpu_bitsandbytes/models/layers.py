@@ -124,6 +124,12 @@ class QLinear4:
         * ``"int8"`` — per-output-row symmetric int8 requantization of the
           dequantized NF4 weight (2x packed size; adds <=0.4% rowmax-relative
           error on top of NF4, see tests/test_runtime_cache.py);
+        * ``"int4"`` — per-(row, 64-block) symmetric int4-linear
+          requantization stored as native S4 (1x packed size; decode
+          streams it at ~650 GB/s = 2.1x the int8 cache per matmul,
+          kbench/int4_args_probe). OPT-IN: int4-linear is FP4-class
+          resolution (~1.5x NF4's RMS error) and the decode kernel
+          row-quantizes activations to int8 — see ops/int4cache.py;
         * ``"bf16"`` — exact NF4 numerics at 4x packed size.
 
         NF4 remains the storage/checkpoint format. ``drop_packed`` frees the
@@ -141,6 +147,9 @@ class QLinear4:
             cache = jnp.clip(jnp.round(w / s[:, None]), -127, 127
                              ).astype(jnp.int8)
             scale = s.astype(jnp.float32)
+        elif fmt == "int4":
+            from ..ops.int4cache import quantize_int4
+            cache, scale = quantize_int4(w)
         else:
             raise ValueError(f"unknown runtime cache format: {fmt!r}")
         return dataclasses.replace(
@@ -153,7 +162,10 @@ class QLinear4:
     def hbm_bytes(self) -> int:
         """HBM bytes one forward pass reads for the weight."""
         if self.w_cache is not None:
-            b = self.w_cache.size * self.w_cache.dtype.itemsize
+            if self.w_cache.dtype == jnp.int4:     # device-packed 2/byte
+                b = self.w_cache.size // 2
+            else:
+                b = self.w_cache.size * self.w_cache.dtype.itemsize
             if self.cache_scale is not None:
                 b += self.cache_scale.size * 4
             return b
@@ -171,6 +183,14 @@ class QLinear4:
         orig_shape = x.shape
         x2 = x.reshape(-1, orig_shape[-1])
         if self.w_cache is not None:
+            if self.w_cache.dtype == jnp.int4:
+                # int4 execution cache: per-64-block partial-scale Pallas
+                # kernel at decode M, XLA dequant+dot at prefill M
+                # (ops/int4cache.py — 0.5 B/param at ~650 GB/s).
+                from ..ops.int4cache import int4_matmul
+                out = int4_matmul(x2, self.w_cache, self.cache_scale,
+                                  bias=self.bias, out_dtype=self.dtype)
+                return out.reshape(*orig_shape[:-1], self.shape[0])
             # Bandwidth-optimal path: XLA fuses the int8->bf16 convert and
             # the row-scale epilogue into the dot (kbench/probe2).
             out = jax.lax.dot_general(

@@ -603,10 +603,12 @@ def build_runtime_cache(params: Params, fmt: str = "int8",
                         skip: Tuple[str, ...] = ()) -> Params:
     """Attach a runtime execution cache to every :class:`QLinear4` leaf.
 
-    ``fmt``: "int8" (2x packed HBM, ~750 GB/s decode path) or "bf16" (exact
-    NF4 numerics, 4x packed). ``skip``: substring match on top-level keys to
-    leave uncached (e.g. ("lm_head",) to keep the big head packed).
-    See :meth:`QLinear4.with_runtime_cache`.
+    ``fmt``: "int8" (2x packed HBM, ~750 GB/s decode path), "int4" (1x
+    packed HBM, ~650 GB/s on HALF the bytes = ~2x int8-cache decode
+    throughput; FP4-class requantization — opt-in, see ops/int4cache.py)
+    or "bf16" (exact NF4 numerics, 4x packed). ``skip``: substring match on
+    top-level keys to leave uncached (e.g. ("lm_head",) to keep the big
+    head packed). See :meth:`QLinear4.with_runtime_cache`.
     """
     def conv(w):
         return (w.with_runtime_cache(fmt, drop_packed=drop_packed)

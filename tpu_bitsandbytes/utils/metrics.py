@@ -108,7 +108,12 @@ def param_footprint(params, runtime_cache: Optional[str] = None,
     out = {"packed": 0, "exec_cache": 0, "fp": 0}
 
     def nbytes(a):
-        return 0 if a is None else a.size * jnp_itemsize(a.dtype)
+        if a is None:
+            return 0
+        import jax.numpy as jnp
+        if a.dtype == jnp.int4:          # device-packed two per byte
+            return a.size // 2
+        return a.size * jnp_itemsize(a.dtype)
 
     def jnp_itemsize(dt):
         import numpy as np
@@ -122,7 +127,9 @@ def param_footprint(params, runtime_cache: Optional[str] = None,
             ex = nbytes(w.w_cache) + nbytes(w.cache_scale)
             if ex == 0 and runtime_cache is not None:
                 n, k = w.shape
-                ex = n * k * (1 if runtime_cache == "int8" else 2) + n * 4
+                per = {"int8": 1, "bf16": 2, "int4": 0.5}[runtime_cache]
+                sc = (k // 64) * 4 if runtime_cache == "int4" else 4
+                ex = int(n * k * per) + n * sc
             if drop_packed and ex:
                 pk = 0
             out["packed"] += pk
