@@ -111,6 +111,33 @@ def main():
             profile(f"{'A8' if a8 else 'A16'} n_t={n_t}",
                     lambda: chain(x, s, *ws4), N * K // 2, NREPS)
 
+    # scale-blocksize sweep: BS=64 dots half-fill the MXU's 128-deep pass;
+    # coarser quant blocks buy fuller passes at slightly coarser scales
+    for bs in (64, 128, 256, 512):
+        sb = jnp.asarray(rng.uniform(0.01, 0.03, (K // bs, N)), jnp.float32)
+
+        def mm_bs(x, w4, s, n_t=2048, bs=bs):
+            def kern(x_ref, w_ref, s_ref, o_ref):
+                _kernel(x_ref, w_ref, s_ref, o_ref, a8=True, bs=bs)
+            return pl.pallas_call(
+                kern,
+                grid=(N // n_t,),
+                in_specs=[
+                    pl.BlockSpec((M, K), lambda i: (0, 0)),
+                    pl.BlockSpec((n_t, K), lambda i: (i, 0)),
+                    pl.BlockSpec((K // bs, n_t), lambda i: (0, i)),
+                ],
+                out_specs=pl.BlockSpec((M, n_t), lambda i: (0, i)),
+                out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            )(x, w4, s)
+
+        @jax.jit
+        def chain_bs(x, s, *ws):
+            outs = [mm_bs(x, w, s) for w in ws]
+            return sum(o[0, 0] for o in outs), outs[-1]
+        profile(f"A8 n_t=2048 bs={bs}",
+                lambda: chain_bs(x8, sb, *ws4), N * K // 2, NREPS)
+
 
 if __name__ == "__main__":
     main()

@@ -46,6 +46,27 @@ class TestQuantizeInt4:
         codes = np.asarray(q4.astype(jnp.int8))
         assert codes.min() >= -7 and codes.max() <= 7
 
+    def test_n_padding_to_grid_tile(self, monkeypatch):
+        """N pads to the kernel's preferred grid tile (zero rows) and
+        int4_matmul(n_out=) slices them back off — the gateup-22016 case
+        scaled down via a shrunk VMEM budget."""
+        import tpu_bitsandbytes.ops.int4cache as I
+        monkeypatch.setattr(I, "_VMEM_BUDGET", 128 * 256 * 3 // 2)
+        w = _mk(200, 256, seed=13)          # t=128 -> N pads 200 -> 256
+        q4, s = quantize_int4(jnp.asarray(w))
+        assert q4.shape == (256, 256)
+        assert s.shape == (256 // INT4_BLOCK, 256)
+        assert np.abs(np.asarray(
+            q4.astype(jnp.int8))[200:]).max() == 0
+        x = jnp.asarray(np.random.default_rng(14).standard_normal((4, 256)),
+                        jnp.float32)
+        out = int4_matmul(x, q4, s, out_dtype=jnp.float32, n_out=200)
+        assert out.shape == (4, 200)
+        # float oracle: the kernel row-quantizes x to A8 (<=0.8% class)
+        ref = np.asarray(x) @ np.asarray(dequant_int4(q4, s)).T[:, :200]
+        assert np.abs(np.asarray(out) - ref).max() / (
+            np.abs(ref).max() + 1e-9) < 0.02
+
 
 class TestInt4Matmul:
     def _a8_reference(self, x, q4, s):
@@ -133,7 +154,8 @@ class TestQLinear4Int4Cache:
                               dtype=jnp.float32)
         qi4 = q.with_runtime_cache("int4")
         fp = param_footprint({"layers": [{"w": qi4}]})
-        assert fp["exec_cache"] == 128 * 256 // 2 + (256 // 64) * 128 * 4
+        assert fp["exec_cache"] == (128 * 256 // 2
+                                    + (256 // INT4_BLOCK) * 128 * 4)
         assert qi4.hbm_bytes() == fp["exec_cache"]
 
     def test_engine_decodes_with_int4_cache(self):

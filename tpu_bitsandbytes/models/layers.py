@@ -124,9 +124,9 @@ class QLinear4:
         * ``"int8"`` — per-output-row symmetric int8 requantization of the
           dequantized NF4 weight (2x packed size; adds <=0.4% rowmax-relative
           error on top of NF4, see tests/test_runtime_cache.py);
-        * ``"int4"`` — per-(row, 64-block) symmetric int4-linear
+        * ``"int4"`` — per-(row, 128-block) symmetric int4-linear
           requantization stored as native S4 (1x packed size; decode
-          streams it at ~650 GB/s = 2.1x the int8 cache per matmul,
+          streams it at ~720 GB/s = 2.3x the int8 cache per matmul,
           kbench/int4_args_probe). OPT-IN: int4-linear is FP4-class
           resolution (~1.5x NF4's RMS error) and the decode kernel
           row-quantizes activations to int8 — see ops/int4cache.py;
@@ -189,7 +189,8 @@ class QLinear4:
                 # (ops/int4cache.py — 0.5 B/param at ~650 GB/s).
                 from ..ops.int4cache import int4_matmul
                 out = int4_matmul(x2, self.w_cache, self.cache_scale,
-                                  bias=self.bias, out_dtype=self.dtype)
+                                  bias=self.bias, out_dtype=self.dtype,
+                                  n_out=self.shape[0])
                 return out.reshape(*orig_shape[:-1], self.shape[0])
             # Bandwidth-optimal path: XLA fuses the int8->bf16 convert and
             # the row-scale epilogue into the dot (kbench/probe2).

@@ -47,7 +47,11 @@ from .matmul4bit import _largest_tile, _round_up
 
 __all__ = ["quantize_int4", "dequant_int4", "int4_matmul"]
 
-INT4_BLOCK = 64
+# Scale blocksize on K. 64-deep dots half-fill the MXU's 128-deep pass;
+# 128 measures 719 GB/s vs 64's 650 (kbench/int4_args_probe bs sweep) at
+# indistinguishable proxy ppl (+0.18% vs +0.46% — both noise-level,
+# KERNEL_NOTES round 4). 256+ adds <5% more speed for coarser scales.
+INT4_BLOCK = 128
 _MAX_M = 64                  # decode-shaped; beyond this XLA dequant+dot wins
 _VMEM_BUDGET = 12 * 2 ** 20  # w tile: 0.5 B packed + 1 B converted per elt
 
@@ -68,20 +72,26 @@ def _s4_format(shape: Tuple[int, ...]):
 def quantize_int4(w: jnp.ndarray, blocksize: int = INT4_BLOCK):
     """Symmetric int4-linear per-(row, K-block): ``w ~= q4 * scale``.
 
-    w [N, K] float -> (q4 s4 [N, K_pad], scales f32 [K_pad/blocksize, N]).
-    K pads with zeros (scale 1; zero codes contribute nothing).
+    w [N, K] float -> (q4 s4 [N_pad, K_pad], scales f32
+    [K_pad/blocksize, N_pad]). K pads with zeros (zero codes contribute
+    nothing); N pads to the kernel's preferred grid tile (zero rows,
+    sliced off by int4_matmul) — e.g. gateup N=22016 only admits a 512
+    tile (83.1 us/matmul) while padding to 22528 admits the measured-best
+    2048 tile (69.4 us, kbench/int4_args_probe) for +2.3% bytes.
     """
     n, k = w.shape
     kp = _round_up(k, blocksize)
+    t = _preferred_tile(kp)
+    np_ = _round_up(n, t) if n >= t else n
     w32 = w.astype(jnp.float32)
-    if kp != k:
-        w32 = jnp.pad(w32, ((0, 0), (0, kp - k)))
+    if kp != k or np_ != n:
+        w32 = jnp.pad(w32, ((0, np_ - n), (0, kp - k)))
     nb = kp // blocksize
-    wb = w32.reshape(n, nb, blocksize)
-    amax = jnp.max(jnp.abs(wb), axis=-1)                    # [N, nb]
+    wb = w32.reshape(np_, nb, blocksize)
+    amax = jnp.max(jnp.abs(wb), axis=-1)                    # [N_pad, nb]
     s = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wb / s[:, :, None]), -7, 7)
-    q = q.reshape(n, kp)
+    q = q.reshape(np_, kp)
 
     def conv(qf):
         return qf.astype(jnp.int4)
@@ -89,22 +99,30 @@ def quantize_int4(w: jnp.ndarray, blocksize: int = INT4_BLOCK):
     if _interpret():
         q4 = jax.jit(conv)(q)
     else:
-        q4 = jax.jit(conv, out_shardings=_s4_format((n, kp)))(q)
-    return q4, s.T.astype(jnp.float32)                      # [nb, N]
+        q4 = jax.jit(conv, out_shardings=_s4_format((np_, kp)))(q)
+    return q4, s.T.astype(jnp.float32)                      # [nb, N_pad]
 
 
 def dequant_int4(q4: jnp.ndarray, scales: jnp.ndarray,
-                 blocksize: int = INT4_BLOCK, dtype=jnp.float32):
+                 blocksize: Optional[int] = None, dtype=jnp.float32):
     """[N, K_pad] s4 + [nb, N] f32 -> [N, K_pad] float (oracle + XLA path)."""
     n, kp = q4.shape
-    nb = kp // blocksize
-    w = q4.astype(jnp.float32).reshape(n, nb, blocksize)
+    nb = scales.shape[0]
+    if blocksize is not None:
+        assert kp // blocksize == nb
+    w = q4.astype(jnp.float32).reshape(n, nb, kp // nb)
     return (w * scales.T[:, :, None]).reshape(n, kp).astype(dtype)
 
 
+def _preferred_tile(kp: int) -> int:
+    """Largest 128-multiple grid tile whose working set (0.5 B packed +
+    1 B converted per element, double-buffered input) fits VMEM."""
+    t = min(2048, max(128, _VMEM_BUDGET // max(1, (kp * 3) // 2)))
+    return (t // 128) * 128
+
+
 def _select_n_tile(n: int, kp: int) -> Optional[int]:
-    target = min(2048, max(128, _VMEM_BUDGET // max(1, (kp * 3) // 2)))
-    target = (target // 128) * 128
+    target = _preferred_tile(kp)
     if target < 128:
         return None
     return _largest_tile(n, target, 128)
@@ -182,17 +200,22 @@ def _make_int4_mm(bs: int, m_t: int, n_t: int):
 
 
 def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, scales: jnp.ndarray, *,
-                blocksize: int = INT4_BLOCK,
+                blocksize: Optional[int] = None,
                 bias: Optional[jnp.ndarray] = None,
-                out_dtype=jnp.bfloat16) -> jnp.ndarray:
+                out_dtype=jnp.bfloat16,
+                n_out: Optional[int] = None) -> jnp.ndarray:
     """``x [M, K] @ (q4 * scales).T`` streaming the packed s4 cache.
 
     Decode-shaped calls (M <= 64, tileable N) run the A8 Pallas kernel;
     anything else takes the XLA dequant+dot (prefill is compute-bound, the
-    2 B/param dequant materialization amortizes at large M).
+    2 B/param dequant materialization amortizes at large M). ``n_out``
+    slices off quantize_int4's grid-tile N padding (default: all rows).
+    ``blocksize`` defaults to what the scales' shape implies.
     """
     m, k = x.shape
     n, kp = q4.shape
+    if blocksize is None:
+        blocksize = kp // scales.shape[0]
     if kp != k:
         x = jnp.pad(x, ((0, 0), (0, kp - k)))
     n_t = _select_n_tile(n, kp) if (m <= _MAX_M and kp % blocksize == 0
@@ -204,6 +227,8 @@ def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, scales: jnp.ndarray, *,
         w = dequant_int4(q4, scales, blocksize, dtype=x.dtype)
         out = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
+    if n_out is not None and n_out != n:
+        out = out[:, :n_out]
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.astype(out_dtype)

@@ -128,7 +128,11 @@ def param_footprint(params, runtime_cache: Optional[str] = None,
             if ex == 0 and runtime_cache is not None:
                 n, k = w.shape
                 per = {"int8": 1, "bf16": 2, "int4": 0.5}[runtime_cache]
-                sc = (k // 64) * 4 if runtime_cache == "int4" else 4
+                if runtime_cache == "int4":
+                    from ..ops.int4cache import INT4_BLOCK
+                    sc = (k // INT4_BLOCK) * 4
+                else:
+                    sc = 4
                 ex = int(n * k * per) + n * sc
             if drop_packed and ex:
                 pk = 0
