@@ -428,6 +428,18 @@ def gqa_attention_flash(q, k, v, *, scale=None, window=None, softcap=None,
     qp = jnp.pad(q, ((0, 0), (0, s_pad - s), (0, 0), (0, 0))).astype(cd)
     kp = jnp.pad(k, ((0, 0), (0, t_pad - t), (0, 0), (0, 0))).astype(cd)
     vp = jnp.pad(v, ((0, 0), (0, t_pad - t), (0, 0), (0, 0))).astype(cd)
+
+    from ..ops.flash_prefill import (flash_prefill_attention,
+                                     flash_prefill_supported)
+    if (s_pad == t_pad and block_q == block_k == 512
+            and flash_prefill_supported(b, s, h, h_kv, d, cd, s_pad)):
+        # tiled Pallas kernel: whole online-softmax in VMEM — the XLA scan
+        # path's [B,H,512,512] f32 block logits live in HBM and cost ~36%
+        # of 7B S=4096 prefill (kbench/prefill_breakdown; ops/flash_prefill)
+        out = flash_prefill_attention(qp, kp, vp, s_real=s,
+                                      scale=float(scale), window=window,
+                                      softcap=softcap)
+        return out[:, :s].astype(q.dtype)
     qg = qp.reshape(b, s_pad, h_kv, rep, d)
     # head-major kv blocks for the scan: [n_blocks, B, H_kv, block_k, D]
     kb = jnp.moveaxis(kp.reshape(b, t_pad // block_k, block_k, h_kv, d),
