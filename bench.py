@@ -207,7 +207,7 @@ def run_prefill(args, config, params):
           f"({flops/med/1e12:.1f} TFLOP/s, MXU roofline "
           f"{roofline_tok_s:.0f} tok/s)", file=sys.stderr)
     print(json.dumps({
-        "metric": f"llama2_{args.model}_nf4_prefill_tokens_per_sec_per_chip",
+        "metric": f"llama2_{args.model}{_layers_tag(args)}_nf4_prefill_tokens_per_sec_per_chip",
         "value": round(tok_s, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tok_s / roofline_tok_s, 4),
@@ -215,11 +215,92 @@ def run_prefill(args, config, params):
     }))
 
 
+def run_speculative(args, config, params):
+    """Measure prompt-lookup speculative decoding vs plain greedy decode
+    (VERDICT r4 missing #6): same engine, same prompts, wall tokens/s +
+    accept-rate. The workload is draft-friendly by construction: each
+    prompt is a seed plus the model's OWN greedy continuation, so further
+    decoding extends patterns the prompt already contains (the regime
+    prompt-lookup targets — summarization/code-edit-style self-repetition).
+    Verify-step economics are also derived: a gamma-draft verify step costs
+    about one decode step of the same engine (weights stream once either
+    way — the MXU amortization lever from KERNEL_NOTES r2), so speedup ~
+    (1 + accepted/verify_steps) x step_ratio."""
+    from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+    b = args.batch
+    rng = np.random.default_rng(0)
+    seeds = [list(map(int, rng.integers(0, config.vocab_size, 16)))
+             for _ in range(b)]
+
+    def make(spec):
+        return DecodeEngine(params, config, max_batch=b,
+                            max_seq=args.max_seq,
+                            steps_per_sync=args.chunk_steps,
+                            speculative=spec, spec_gamma=args.spec_gamma)
+
+    plain = make(None)
+    print("building draft-friendly prompts (greedy self-continuations)...",
+          file=sys.stderr)
+    gen = plain.generate(seeds, SamplingParams(max_new_tokens=48))
+    prompts = [s + g for s, g in zip(seeds, gen)]
+    sp = SamplingParams(max_new_tokens=args.spec_tokens)
+
+    print("timing plain greedy decode...", file=sys.stderr)
+    plain.generate(prompts, SamplingParams(max_new_tokens=8))   # compile
+    t0 = time.time()
+    ref = plain.generate(prompts, sp)
+    dt_plain = time.time() - t0
+
+    spec = make("ngram")
+    print("timing speculative decode...", file=sys.stderr)
+    spec.generate(prompts, SamplingParams(max_new_tokens=8))    # compile
+    spec.spec_stats = {"verify_steps": 0, "drafted": 0, "accepted": 0}
+    t0 = time.time()
+    out = spec.generate(prompts, sp)
+    dt_spec = time.time() - t0
+
+    if out != ref:
+        print("FATAL: speculative output != greedy output", file=sys.stderr)
+        raise SystemExit(1)
+    n_tok = sum(len(o) for o in ref)
+    st = spec.spec_stats
+    acc = st["accepted"] / max(1, st["drafted"])
+    plain_tps = n_tok / dt_plain
+    spec_tps = n_tok / dt_spec
+    print(f"plain {plain_tps:.0f} tok/s | speculative {spec_tps:.0f} tok/s "
+          f"({spec_tps / plain_tps:.2f}x) | accept {st['accepted']}/"
+          f"{st['drafted']} = {acc:.1%} over {st['verify_steps']} verify "
+          f"steps (gamma={args.spec_gamma})", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"llama2_{args.model}_nf4_speculative_tokens_per_sec_per_chip",
+        "value": round(spec_tps, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(spec_tps / plain_tps, 4),
+        "plain_tokens_per_sec": round(plain_tps, 2),
+        "speedup": round(spec_tps / plain_tps, 4),
+        "accept_rate": round(acc, 4),
+        "spec_stats": st,
+        "batch": b, "gamma": args.spec_gamma,
+        "tokens_identical_to_greedy": True,
+    }))
+
+
+def _layers_tag(args):
+    return f"_l{args.layers}" if args.layers else ""
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7b",
-                    choices=["7b", "13b", "tiny", "1b", "qwen2-7b",
-                             "mistral-7b", "gemma2-9b"])
+                    choices=["7b", "13b", "70b", "tiny", "1b",
+                             "qwen2-7b", "mistral-7b", "gemma2-9b"])
+    ap.add_argument("--layers", type=int, default=0,
+                    help="override num_layers (layer-scaled geometry "
+                         "benchmarks: e.g. --model 70b --layers 8 runs the "
+                         "full 70B hidden/head/ffn geometry in one chip's "
+                         "HBM; per-layer cost scales linearly, so "
+                         "SCALING.md extrapolates full-model rates from "
+                         "this measurement)")
     ap.add_argument("--batch", type=int, default=8,
                     help="decode slots (BASELINE config 3: continuous batching)")
     ap.add_argument("--chunk-steps", type=int, default=32,
@@ -241,8 +322,8 @@ def main():
                          "reads exactly the NF4-storage bytes the "
                          "BASELINE.md roofline is defined on, ~2x the "
                          "int8-cache decode throughput; it REQUANTIZES to "
-                         "FP4-class int4-linear per 64-block (proxy ppl "
-                         "+0.46%% vs fp32, int8 cache +0.34%% — "
+                         "FP4-class int4-linear per 128-block (proxy ppl "
+                         "+0.18%% vs fp32, int8 cache +0.34%% — "
                          "tests/test_ppl_gate.py). int8 = the "
                          "accuracy-first library default "
                          "(DecodeEngine runtime_cache='auto').")
@@ -254,6 +335,15 @@ def main():
                     help="serving mode: free the packed NF4 codes after "
                          "building the runtime cache (HBM headroom for "
                          "long-context KV)")
+    ap.add_argument("--speculative", action="store_true",
+                    help="measure prompt-lookup speculative decoding vs "
+                         "plain greedy on a draft-friendly workload "
+                         "(engine-level wall tok/s + accept rate; output "
+                         "asserted token-identical to greedy)")
+    ap.add_argument("--spec-gamma", type=int, default=4,
+                    help="drafts proposed per verify step")
+    ap.add_argument("--spec-tokens", type=int, default=128,
+                    help="new tokens per request in the speculative bench")
     ap.add_argument("--prefill", type=int, default=0, metavar="S",
                     help="measure PREFILL instead of decode: one causal "
                          "forward of [--batch, S] tokens (flash attention "
@@ -269,6 +359,11 @@ def main():
         # --drop-packed (the engine's drop_packed="auto" does this; the
         # bench builds params directly, so ask for it explicitly)
         config = llama.LlamaConfig.llama2_13b()
+    elif args.model == "70b":
+        # full 70B needs multi-chip (SCALING.md 70B section); with --layers
+        # N the geometry (hidden 8192, 64 q / 8 kv heads, ffn 28672) runs
+        # layer-scaled on one chip: N=8 int4 ~ 3.5 GiB weights
+        config = llama.LlamaConfig.llama2_70b()
     elif args.model == "1b":
         config = llama.LlamaConfig(hidden_size=2048, intermediate_size=5504,
                                    num_layers=16, num_heads=16,
@@ -282,6 +377,9 @@ def main():
     else:
         config = llama.LlamaConfig.tiny()
 
+    if args.layers:
+        import dataclasses as _dc
+        config = _dc.replace(config, num_layers=args.layers)
     cache_fmt = None if args.runtime_cache == "none" else args.runtime_cache
     print(f"building random NF4 {args.model} params "
           f"(runtime cache: {args.runtime_cache})...", file=sys.stderr)
@@ -294,6 +392,9 @@ def main():
 
     if args.prefill:
         run_prefill(args, config, params)
+        return
+    if args.speculative:
+        run_speculative(args, config, params)
         return
 
     import dataclasses
@@ -441,7 +542,7 @@ def main():
         sys.exit(1)
 
     print(json.dumps({
-        "metric": f"llama2_{args.model}_nf4_decode_tokens_per_sec_per_chip",
+        "metric": f"llama2_{args.model}{_layers_tag(args)}_nf4_decode_tokens_per_sec_per_chip",
         "value": round(tok_s, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tok_s / roofline, 4),

@@ -21,6 +21,8 @@ run bench_b1     python bench.py --batch 1
 run bench_b32    python bench.py --batch 32 --max-seq 512
 run bench_ctx1k  python bench.py --batch 8 --context 1024 --max-seq 2048
 run bench_ctx2k  python bench.py --batch 8 --context 2048 --max-seq 4096
+run prefill_4k   python bench.py --prefill 4096 --runtime-cache int8
+run prefill_int4 python bench.py --prefill 4096
 run speculative  python scripts/verify_speculative.py
 run scaling      python scripts/scaling_probe.py --mode tpu
 

@@ -1254,6 +1254,38 @@ class TestRuntimeCacheAuto:
                               and l.w_cache.dtype == jnp.int8
                               for l in leaves)
 
+    def test_auto_picks_int4_when_int8_over_budget(self, tiny_model,
+                                                   monkeypatch):
+        """Between the int8 and int4 budgets, auto must now pick int4 —
+        its measured proxy ppl (+0.18% at the production 128-block) beats
+        the int8 cache's +0.34%, and it decodes ~6x faster than the W4A8
+        fallback it used to hand this regime to (VERDICT r4 #4)."""
+        cfg, params = tiny_model
+        qparams = llama.quantize_params(params)
+        probe = DecodeEngine(qparams, cfg, max_batch=1, max_seq=64)
+        t8 = sum(v for k, v in probe._footprint_est(
+            qparams, "int8", True).items()
+            if k in ("exec_cache", "fp", "kv", "activations_est"))
+        t4 = sum(v for k, v in probe._footprint_est(
+            qparams, "int4", True).items()
+            if k in ("exec_cache", "fp", "kv", "activations_est"))
+        assert t4 < t8
+        budget_gib = ((t8 + t4) / 2) / 0.92 / 2 ** 30
+        from tpu_bitsandbytes.utils import metrics
+        shrunk = dict(metrics.CHIP_SPECS)
+        shrunk["v5e"] = dict(shrunk["v5e"], hbm_gib=budget_gib)
+        monkeypatch.setattr(metrics, "CHIP_SPECS", shrunk)
+        with pytest.warns(UserWarning, match="int4 execution cache"):
+            eng = DecodeEngine(qparams, cfg, max_batch=1, max_seq=64,
+                               runtime_cache="auto")
+        from tpu_bitsandbytes.models.layers import QLinear4
+        leaves = [l for l in jax.tree_util.tree_leaves(
+            eng.params, is_leaf=lambda x: isinstance(x, QLinear4))
+            if isinstance(l, QLinear4)]
+        assert leaves and all(l.w_cache is not None
+                              and l.w_cache.dtype == jnp.int4
+                              for l in leaves)
+
     def test_auto_falls_back_to_packed_when_over_budget(self, tiny_model,
                                                         monkeypatch):
         cfg, params = tiny_model

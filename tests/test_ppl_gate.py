@@ -64,18 +64,24 @@ class TestPplGate:
         ppl_q = proxy.teacher_forced_ppl(qc, cfg, ev)
         assert abs(ppl_q / ppl_fp - 1) <= GATE_REL, (ppl_fp, ppl_q)
 
-    def test_int4_runtime_cache_within_fp4_class_gate(self, trained_proxy):
+    def test_int4_runtime_cache_within_gate(self, trained_proxy):
         """The int4 execution cache REQUANTIZES the NF4 weight to symmetric
-        int4-linear per 64-block (FP4-class resolution, ~1.5x NF4's RMS) —
-        a documented accuracy/speed tradeoff (ops/int4cache.py), so its
-        gate is 3x the nf4/int8 gate. teacher_forced_ppl runs at M > 64 so
-        this measures the XLA dequant path's numerics; the decode kernel's
-        A8 arithmetic is oracle-tested in tests/test_int4_cache.py."""
+        int4-linear per INT4_BLOCK (=128) K-block. At that blocksize the
+        measured 7B-proxy delta is +0.18% — BETTER than the int8 cache's
+        +0.34% (KERNEL_NOTES round 4), so it gates at the same 1x
+        nf4/int8 gate, and the `auto` engine policy is allowed to pick it
+        (engine.DecodeEngine). The gate runs at the ACTUAL production
+        blocksize, imported, so a retune cannot silently outrun the test.
+        teacher_forced_ppl runs at M > 64 so this measures the XLA dequant
+        path's numerics; the decode kernel's A8 arithmetic is
+        oracle-tested in tests/test_int4_cache.py."""
+        from tpu_bitsandbytes.ops.int4cache import INT4_BLOCK
+        assert INT4_BLOCK == 128, "gate was calibrated at 128 — re-measure"
         cfg, params, ev, ppl_fp = trained_proxy
         q = llama.quantize_params(params, blocksize=64, dtype=jnp.float32)
         qc = llama.build_runtime_cache(q, "int4")
         ppl_q = proxy.teacher_forced_ppl(qc, cfg, ev)
-        assert abs(ppl_q / ppl_fp - 1) <= 3 * GATE_REL, (ppl_fp, ppl_q)
+        assert abs(ppl_q / ppl_fp - 1) <= GATE_REL, (ppl_fp, ppl_q)
 
     def test_quantized_kv_decode_within_gate(self, trained_proxy):
         """KV-cache int8 quantization impact, measured through the decode

@@ -313,6 +313,64 @@ class TestMeshEngine:
         out = multi.generate(prompts, sp)
         assert out == ref
 
+    def test_engine_mesh_int4_cache_shards_and_serves(self, tp_model, rng):
+        """runtime_cache='int4' under a mesh (VERDICT r4 #2): the cache is
+        built PER SHARD (parallel.sharding.build_sharded_int4_cache — jax
+        0.9 cannot device_put S4 under a NamedSharding) with the documented
+        shardings, and the engine generates. This config's row-parallel
+        K/tp=32 < INT4_BLOCK, so per-shard scale blocks are finer than the
+        unsharded engine's — correct but not bit-identical (the exact-parity
+        contract, aligned K/tp, is the next test)."""
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg, params = tp_model
+        qparams = llama.quantize_params(params, blocksize=32,
+                                        dtype=jnp.float32)
+        prompts = [list(rng.integers(0, cfg.vocab_size, 5)) for _ in range(3)]
+        sp = SamplingParams(max_new_tokens=5)
+
+        mesh = make_mesh(tp=4, dp=2)
+        multi = DecodeEngine(qparams, cfg, max_batch=2, max_seq=64,
+                             runtime_cache="int4", mesh=mesh)
+        q = multi.params["layers"][0]["q_proj"]
+        assert q.w_cache.dtype == jnp.int4
+        assert q.w_cache.sharding.spec == P("tp", None)
+        assert q.cache_scale.sharding.spec == P(None, "tp")
+        down = multi.params["layers"][0]["down_proj"]
+        assert down.w_cache.sharding.spec == P(None, "tp")
+        assert down.cache_scale.sharding.spec == P("tp", None)
+        out = multi.generate(prompts, sp)
+        assert all(len(o) == 5 for o in out)
+        assert all(0 <= t < cfg.vocab_size for o in out for t in o)
+
+    def test_engine_mesh_int4_cache_kernel_tile_path(self, rng):
+        """Same parity with per-shard dims large enough (>=128 rows/shard)
+        that int4_matmul takes the Pallas kernel path inside shard_map, and
+        with drop_packed serving mode (packed leaves stripped after the
+        per-shard build — _localize derives dims from the global shape)."""
+        from tpu_bitsandbytes.engine import DecodeEngine, SamplingParams
+        cfg = llama.LlamaConfig(vocab_size=256, hidden_size=512,
+                                intermediate_size=512, num_layers=1,
+                                num_heads=4, num_kv_heads=4, max_seq_len=64,
+                                dtype=jnp.float32)
+        params = llama.init_params(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+        qparams = llama.quantize_params(params, blocksize=64,
+                                        dtype=jnp.float32)
+        prompts = [list(rng.integers(0, cfg.vocab_size, 5)) for _ in range(2)]
+        sp = SamplingParams(max_new_tokens=4)
+
+        single = DecodeEngine(qparams, cfg, max_batch=2, max_seq=64,
+                              runtime_cache="int4", drop_packed=True)
+        ref = single.generate(prompts, sp)
+
+        mesh = make_mesh(tp=4, dp=2)
+        multi = DecodeEngine(qparams, cfg, max_batch=2, max_seq=64,
+                             runtime_cache="int4", drop_packed=True,
+                             mesh=mesh)
+        assert multi.params["layers"][0]["q_proj"].packed is None
+        out = multi.generate(prompts, sp)
+        assert out == ref
+
     def test_engine_mesh_batch_divisibility(self, tp_model):
         from tpu_bitsandbytes.engine import DecodeEngine
         cfg, params = tp_model

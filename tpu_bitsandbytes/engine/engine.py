@@ -393,13 +393,17 @@ class DecodeEngine:
         ``runtime_cache``: "int8"/"int4"/"bf16" builds the execution cache
         on the quantized params (see models.llama.build_runtime_cache);
         "auto" picks int8 when it fits the chip's HBM alongside KV +
-        activations (drop_packed serving mode counts) and otherwise serves
-        off the packed NF4 bytes — where QLinear4 dispatches decode-shaped
-        matmuls to the W4A8 packed-bytes kernel (ops/w4a8.py). "int4"
-        (opt-in, never auto-picked: it requantizes to FP4-class int4-linear
-        per 64-block) streams 0.5 B/param at ~650 GB/s — ~2x int8-cache
-        decode throughput and the fastest in-HBM format for 13B-class
-        models on one chip (ops/int4cache.py).
+        activations (drop_packed serving mode counts), otherwise int4 when
+        THAT fits (0.5 B/param S4 cache at ~720 GB/s — ~2x int8-cache
+        decode throughput, measured proxy-ppl +0.18% vs int8's +0.34% at
+        the production 128-block, tests/test_ppl_gate.py; 13B serves at
+        625 vs ~100 tok/s this way), and only past both budgets serves
+        off the packed NF4 bytes — where QLinear4 dispatches
+        decode-shaped matmuls to the exact-NF4-class W4A8 packed-bytes
+        kernel (ops/w4a8.py). Callers needing bit-exact NF4 numerics
+        should pass runtime_cache=None explicitly. Under a mesh the int4
+        cache is built per shard (parallel.sharding.
+        build_sharded_int4_cache).
         ``speculative``: "ngram" enables prompt-lookup speculative decoding
         (engine/speculative.py) for all-greedy batches on single-device
         meshes; output stays token-identical to plain greedy decoding.
@@ -449,27 +453,44 @@ class DecodeEngine:
                 f"to roll) — drop ring_kv= or raise max_seq")
         self.spec_stats = {"verify_steps": 0, "drafted": 0, "accepted": 0}
         if runtime_cache == "auto":
-            # exec-format-per-HBM-budget (VERDICT r3 #2): the int8 execution
-            # cache is the fastest decode format (~750 GB/s XLA convert+dot)
-            # but doubles weight bytes; when even drop_packed can't fit it,
-            # serve straight off the packed NF4 bytes — QLinear4 routes
-            # decode-shaped matmuls to the W4A8 kernel (ops/w4a8.py).
-            est = self._footprint_est(params, "int8", quantized_kv)
-            est["packed"] = 0          # cache-only serving (drop_packed)
-            est["total"] = sum(v for k, v in est.items()
-                               if k in ("exec_cache", "fp", "kv",
-                                        "activations_est"))
-            if est["total"] <= 0.92 * est["budget"]:
+            # exec-format-per-HBM-budget (VERDICT r3 #2, re-gated r5): int8
+            # (fastest-known accuracy floor, 1 B/param) when it fits with
+            # drop_packed; else int4 (0.5 B/param, ~2x decode throughput,
+            # measured proxy ppl +0.18% — BETTER than int8's +0.34%,
+            # tests/test_ppl_gate.py) when that fits; only past both
+            # budgets serve straight off the packed NF4 bytes — QLinear4
+            # routes decode-shaped matmuls to the W4A8 kernel (ops/w4a8.py).
+            def _cache_only_total(fmt):
+                est = self._footprint_est(params, fmt, quantized_kv)
+                est["total"] = sum(v for k, v in est.items()
+                                   if k in ("exec_cache", "fp", "kv",
+                                            "activations_est"))
+                return est
+            est8 = _cache_only_total("int8")
+            if est8["total"] <= 0.92 * est8["budget"]:
                 runtime_cache = "int8"
             else:
-                import warnings
-                warnings.warn(
-                    "tpu-bitsandbytes: int8 execution cache does not fit "
-                    f"HBM ({est['total'] / 2**30:.1f} GiB > "
-                    f"{0.92 * est['budget'] / 2**30:.1f} GiB even with "
-                    "drop_packed) — serving off packed NF4 bytes (W4A8 "
-                    "decode kernel)")
-                runtime_cache = None
+                est4 = _cache_only_total("int4")
+                if est4["total"] <= 0.92 * est4["budget"]:
+                    import warnings
+                    warnings.warn(
+                        "tpu-bitsandbytes: int8 execution cache does not "
+                        f"fit HBM ({est8['total'] / 2**30:.1f} GiB > "
+                        f"{0.92 * est8['budget'] / 2**30:.1f} GiB with "
+                        "drop_packed) — using the int4 execution cache "
+                        "(FP4-class int4-linear requantization, measured "
+                        "proxy ppl +0.18%; pass runtime_cache=None for "
+                        "bit-exact NF4 via the W4A8 kernel)")
+                    runtime_cache = "int4"
+                else:
+                    import warnings
+                    warnings.warn(
+                        "tpu-bitsandbytes: no execution cache fits HBM "
+                        f"({est4['total'] / 2**30:.1f} GiB int4 > "
+                        f"{0.92 * est4['budget'] / 2**30:.1f} GiB) — "
+                        "serving off packed NF4 bytes (W4A8 decode kernel)")
+                    runtime_cache = None
+        int4_mesh = mesh is not None and runtime_cache == "int4"
         if runtime_cache:
             dp_flag = drop_packed
             if dp_flag == "auto":
@@ -487,18 +508,16 @@ class DecodeEngine:
                         f"GiB > {0.92 * est['budget'] / 2**30:.1f} GiB HBM "
                         "budget (pass drop_packed=False to force-retain; "
                         "a dropped engine cannot re-checkpoint NF4)")
-            params = llama.build_runtime_cache(params, runtime_cache,
-                                               drop_packed=bool(dp_flag))
+            if not int4_mesh:
+                params = llama.build_runtime_cache(params, runtime_cache,
+                                                   drop_packed=bool(dp_flag))
+            # int4 under a mesh is built per shard AFTER sharding (jax 0.9
+            # cannot device_put S4 under a NamedSharding —
+            # parallel.sharding.build_sharded_int4_cache)
         cache = KVCache.create(
             config.num_layers, max_batch, self.max_seq, config.num_kv_heads,
             config.hd, quantized=quantized_kv, dtype=config.dtype,
             ring_size=self.ring_size)
-        if mesh is not None and runtime_cache == "int4":
-            # jax 0.9 S4 layout-reconcile bug (ops/int4cache.py docstring):
-            # device_put of s4 leaves under a NamedSharding recurses. The
-            # int8 cache shards fine; lift this once jax fixes S4 layouts.
-            raise ValueError("runtime_cache='int4' is single-device for "
-                             "now — use 'int8' under a mesh")
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel import (shard_params, kv_cache_spec,
@@ -511,6 +530,10 @@ class DecodeEngine:
                 raise ValueError(f"max_batch {max_batch} must divide by "
                                  f"dp={dp}")
             self.params = shard_params(params, mesh)
+            if int4_mesh:
+                from ..parallel.sharding import build_sharded_int4_cache
+                self.params = build_sharded_int4_cache(
+                    self.params, mesh, drop_packed=bool(dp_flag))
             cache = jax.device_put(
                 cache, jax.tree_util.tree_map(
                     lambda s: NamedSharding(mesh, s), kv_cache_spec(cache),

@@ -190,7 +190,11 @@ class QLinear4:
                 from ..ops.int4cache import int4_matmul
                 out = int4_matmul(x2, self.w_cache, self.cache_scale,
                                   bias=self.bias, out_dtype=self.dtype,
-                                  n_out=self.shape[0])
+                                  n_out=self.shape[0],
+                                  # row-parallel TP shard (set by
+                                  # parallel.tp._localize): pmax the A8 row
+                                  # scale so quantization matches 1-device
+                                  xmax_axis=getattr(self, "_tp_axis", None))
                 return out.reshape(*orig_shape[:-1], self.shape[0])
             # Bandwidth-optimal path: XLA fuses the int8->bf16 convert and
             # the row-scale epilogue into the dot (kbench/probe2).

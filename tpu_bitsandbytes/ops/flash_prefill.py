@@ -6,16 +6,23 @@ block logits are [B, H, bq, bk] f32 = 268 MB — far beyond VMEM — so every
 mask/exp/rescale pass is an HBM round trip. At 7B S=4096 B=8 that chain
 measures ~1.7 s of the 4.8 s prefill (36% of device time at <1% MXU
 efficiency) while the matmuls ride at ~187 TFLOP/s (kbench/
-prefill_breakdown). This kernel keeps one (batch, head) tile resident:
+prefill_breakdown). This kernel keeps the online-softmax tiles in VMEM:
 
-* grid (B, H) — each cell holds q/k/v/out [S, D] slices in VMEM (bf16
-  S=4096 D=128 = 1 MB each), logits [bq, bk] f32 = 1 MB, acc [bq, D] f32;
-* per q block (unrolled), a lax.fori_loop streams k blocks up to the
-  causal diagonal with the standard online-softmax (m, l, acc) carry —
-  all VPU work on VMEM tiles, zero HBM traffic beyond the operand reads;
-* GQA via the k/v BlockSpec index_map (kv head = h // rep); causal,
-  sliding-window, softcap, and key-padding masks are positional
-  predicates on block iotas, so no mask tensor is ever materialized;
+* operands are viewed as [B, S_pad, H*D] (a zero-cost reshape of the
+  token-major layout) so every block's trailing dims are (S-tile, 128) —
+  Mosaic's lowering requires the last two block dims to be (8k, 128m) or
+  full, which the natural [B, S, H, D] blocking violates;
+* grid (B, H, nq): one q block per cell (the q loop rides the grid, not a
+  Python unroll — one compiled body, no 8x compile-time blowup); k/v
+  BlockSpecs index only (batch, head), so Mosaic elides their HBM->VMEM
+  copies across consecutive q blocks of the same head;
+* per cell, a lax.fori_loop streams k blocks up to the causal diagonal
+  (n_kb = qi+1 at bq == bk) with the standard (m, l, acc) carry — all VPU
+  work on VMEM tiles, zero HBM traffic beyond the operand reads;
+* GQA via the k/v index_map (kv head = h // rep); causal, sliding-window,
+  softcap, and key-padding masks are positional predicates on block
+  iotas, so no mask tensor is ever materialized; sliding windows also
+  lower-bound the k-block loop;
 * bf16 x bf16 -> f32 MXU dots (same dtype policy as the XLA path; f32
   configs stay on the XLA path — CPU/tests keep the jnp oracle).
 
@@ -48,53 +55,57 @@ def flash_prefill_supported(b, s, h, h_kv, d, dtype, s_pad) -> bool:
         return False
     if d % 128 or d > 256 or s_pad % 512 or h % h_kv:
         return False
-    # q/k/v/out S-tiles (bf16) + f32 acc/logits per cell
-    vmem = (3 * s_pad * d * 2) + s_pad * d * 2 + 512 * 512 * 4 + 512 * d * 4
+    # k/v S-tiles (bf16, double-buffered) + q/out blocks + f32 logits/acc
+    vmem = (2 * 2 * s_pad * d * 2) + 4 * 512 * d * 2 + 512 * 512 * 4 \
+        + 2 * 512 * d * 4
     return vmem <= 14 * 2 ** 20
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, bq: int, bk: int, s_real: int,
             scale: float, window: Optional[int], softcap: Optional[float]):
-    s_pad, d = q_ref.shape[1], q_ref.shape[3]
-    nq = s_pad // bq
+    qi = pl.program_id(2)
+    d = q_ref.shape[2]
     dn = (((1,), (1,)), ((), ()))            # QK: contract d (lanes)
     dn_pv = (((1,), (0,)), ((), ()))         # PV: contract bk (sublanes)
 
-    for qi in range(nq):
-        q = q_ref[0, qi * bq:(qi + 1) * bq, 0, :]          # [bq, d] bf16
-        qpos = qi * bq + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, bk), 0)
-        n_kb = min((qi * bq + bq + bk - 1) // bk, s_pad // bk)
+    q = q_ref[0]                             # [bq, d] bf16
+    qpos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    # bq == bk: the causal diagonal ends in block qi
+    n_kb = qi + 1
+    if window is None:
+        kb_lo = 0
+    else:
+        # smallest key position kept is qi*bq - window + 1
+        kb_lo = jnp.maximum(0, (qi * bq - window + 1) // bk)
 
-        def body(ki, carry):
-            m, l, acc = carry
-            k = k_ref[0, pl.ds(ki * bk, bk), 0, :]
-            v = v_ref[0, pl.ds(ki * bk, bk), 0, :]
-            lg = jax.lax.dot_general(
-                q, k, dn, preferred_element_type=jnp.float32) * scale
-            if softcap is not None:
-                lg = jnp.tanh(lg / softcap) * softcap
-            kpos = ki * bk + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, bk), 1)
-            keep = (kpos <= qpos) & (kpos < s_real)
-            if window is not None:
-                keep &= kpos > qpos - window
-            lg = jnp.where(keep, lg, _NEG)
-            m_new = jnp.maximum(m, jnp.max(lg, axis=-1))
-            p = jnp.exp(lg - m_new[:, None])
-            alpha = jnp.exp(m - m_new)
-            l_new = l * alpha + jnp.sum(p, axis=-1)
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v, dn_pv,
-                preferred_element_type=jnp.float32)
-            return m_new, l_new, acc * alpha[:, None] + pv
+    def body(ki, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(ki * bk, bk), :]
+        v = v_ref[0, pl.ds(ki * bk, bk), :]
+        lg = jax.lax.dot_general(
+            q, k, dn, preferred_element_type=jnp.float32) * scale
+        if softcap is not None:
+            lg = jnp.tanh(lg / softcap) * softcap
+        kpos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        keep = (kpos <= qpos) & (kpos < s_real)
+        if window is not None:
+            keep &= kpos > qpos - window
+        lg = jnp.where(keep, lg, _NEG)
+        m_new = jnp.maximum(m, jnp.max(lg, axis=-1))
+        p = jnp.exp(lg - m_new[:, None])
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, dn_pv,
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc * alpha[:, None] + pv
 
-        m0 = jnp.full((bq,), _NEG, jnp.float32)
-        l0 = jnp.zeros((bq,), jnp.float32)
-        a0 = jnp.zeros((bq, d), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, a0))
-        out = acc / jnp.maximum(l, 1e-38)[:, None]
-        o_ref[0, qi * bq:(qi + 1) * bq, 0, :] = out.astype(o_ref.dtype)
+    m0 = jnp.full((bq,), _NEG, jnp.float32)
+    l0 = jnp.zeros((bq,), jnp.float32)
+    a0 = jnp.zeros((bq, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(kb_lo, n_kb, body, (m0, l0, a0))
+    out = acc / jnp.maximum(l, 1e-38)[:, None]
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("s_real", "scale", "window",
@@ -103,7 +114,7 @@ def flash_prefill_attention(q, k, v, *, s_real: int, scale: float,
                             window: Optional[int] = None,
                             softcap: Optional[float] = None,
                             block: int = 512):
-    """Causal GQA prefill attention, one (B, H) grid cell per head.
+    """Causal GQA prefill attention, one (B, H, q-block) grid cell.
 
     q [B, S_pad, H, D]; k/v [B, S_pad, H_kv, D] (token-major, padded to a
     ``block`` multiple); keys at positions >= ``s_real`` are masked (query
@@ -116,17 +127,23 @@ def flash_prefill_attention(q, k, v, *, s_real: int, scale: float,
     kernel = functools.partial(_kernel, bq=block, bk=block, s_real=s_real,
                                scale=float(scale), window=window,
                                softcap=softcap)
-    return pl.pallas_call(
+    # Mosaic needs trailing block dims (8k, 128m)|full: fold heads into
+    # lanes — [B, S, H*D] with a 128-wide lane slice per head.
+    qf = q.reshape(b, s_pad, h * d)
+    kf = k.reshape(b, s_pad, h_kv * d)
+    vf = v.reshape(b, s_pad, h_kv * d)
+    out = pl.pallas_call(
         kernel,
-        grid=(b, h),
+        grid=(b, h, s_pad // block),
         in_specs=[
-            pl.BlockSpec((1, s_pad, 1, d), lambda i, j: (i, 0, j, 0)),
-            pl.BlockSpec((1, s_pad, 1, d),
-                         lambda i, j, rep=rep: (i, 0, j // rep, 0)),
-            pl.BlockSpec((1, s_pad, 1, d),
-                         lambda i, j, rep=rep: (i, 0, j // rep, 0)),
+            pl.BlockSpec((1, block, d), lambda i, j, qi: (i, qi, j)),
+            pl.BlockSpec((1, s_pad, d),
+                         lambda i, j, qi, rep=rep: (i, 0, j // rep)),
+            pl.BlockSpec((1, s_pad, d),
+                         lambda i, j, qi, rep=rep: (i, 0, j // rep)),
         ],
-        out_specs=pl.BlockSpec((1, s_pad, 1, d), lambda i, j: (i, 0, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, h, d), q.dtype),
+        out_specs=pl.BlockSpec((1, block, d), lambda i, j, qi: (i, qi, j)),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, h * d), q.dtype),
         interpret=jax.default_backend() != "tpu",
-    )(q, k, v)
+    )(qf, kf, vf)
+    return out.reshape(b, s_pad, h, d)

@@ -61,15 +61,20 @@ def _interpret() -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _s4_format(shape: Tuple[int, ...]):
+def _s4_format(shape: Tuple[int, ...], device=None):
     """The Format jit consumers expect for an s4 array of ``shape``
-    (sub_byte_element_size_in_bits=4 — see module docstring)."""
+    (sub_byte_element_size_in_bits=4 — see module docstring). ``device``
+    pins the producing jit to one device (the per-shard mesh cache build,
+    parallel.sharding.build_sharded_int4_cache)."""
     comp = jax.jit(lambda w: w.astype(jnp.int8)).lower(
         jax.ShapeDtypeStruct(shape, jnp.int4)).compile()
-    return comp.input_formats[0][0]
+    fmt = comp.input_formats[0][0]
+    if device is not None:
+        fmt = type(fmt)(fmt.layout, jax.sharding.SingleDeviceSharding(device))
+    return fmt
 
 
-def quantize_int4(w: jnp.ndarray, blocksize: int = INT4_BLOCK):
+def quantize_int4(w: jnp.ndarray, blocksize: int = INT4_BLOCK, device=None):
     """Symmetric int4-linear per-(row, K-block): ``w ~= q4 * scale``.
 
     w [N, K] float -> (q4 s4 [N_pad, K_pad], scales f32
@@ -99,7 +104,8 @@ def quantize_int4(w: jnp.ndarray, blocksize: int = INT4_BLOCK):
     if _interpret():
         q4 = jax.jit(conv)(q)
     else:
-        q4 = jax.jit(conv, out_shardings=_s4_format((np_, kp)))(q)
+        q4 = jax.jit(conv,
+                     out_shardings=_s4_format((np_, kp), device))(q)
     return q4, s.T.astype(jnp.float32)                      # [nb, N_pad]
 
 
@@ -165,15 +171,23 @@ def _int4_call(xq, q4, scales, *, m_t: int, n_t: int, bs: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_int4_mm(bs: int, m_t: int, n_t: int):
+def _make_int4_mm(bs: int, m_t: int, n_t: int, axis: Optional[str] = None):
     """custom_vjp: A8 row quantization inside the boundary; d_x is the
     straight-through gradient against the dequantized int4 weight (weights
-    are frozen serving state — same arrangement as ops.w4a8)."""
+    are frozen serving state — same arrangement as ops.w4a8).
+
+    ``axis``: named mesh axis for row-parallel TP shards — the activation
+    row-max is pmax'd over it so the A8 quantization matches the
+    single-device kernel bit-for-bit (each shard sees only K/tp of the
+    row; without the collective, per-shard scales diverge from the
+    unsharded engine's and so do greedy tokens)."""
 
     def _fwd_only(xp, q4, scales):
         m = xp.shape[0]
         x32 = xp.astype(jnp.float32)
         s_x = jnp.max(jnp.abs(x32), axis=1, keepdims=True) / 127.0
+        if axis is not None:
+            s_x = jax.lax.pmax(s_x, axis)
         s_x = jnp.maximum(s_x, 1e-12)
         xq = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
         if m_t != m:
@@ -203,7 +217,8 @@ def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, scales: jnp.ndarray, *,
                 blocksize: Optional[int] = None,
                 bias: Optional[jnp.ndarray] = None,
                 out_dtype=jnp.bfloat16,
-                n_out: Optional[int] = None) -> jnp.ndarray:
+                n_out: Optional[int] = None,
+                xmax_axis: Optional[str] = None) -> jnp.ndarray:
     """``x [M, K] @ (q4 * scales).T`` streaming the packed s4 cache.
 
     Decode-shaped calls (M <= 64, tileable N) run the A8 Pallas kernel;
@@ -211,6 +226,8 @@ def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, scales: jnp.ndarray, *,
     2 B/param dequant materialization amortizes at large M). ``n_out``
     slices off quantize_int4's grid-tile N padding (default: all rows).
     ``blocksize`` defaults to what the scales' shape implies.
+    ``xmax_axis``: mesh axis to pmax the A8 row scale over (row-parallel
+    TP shards inside shard_map — see _make_int4_mm).
     """
     m, k = x.shape
     n, kp = q4.shape
@@ -222,7 +239,7 @@ def int4_matmul(x: jnp.ndarray, q4: jnp.ndarray, scales: jnp.ndarray, *,
                                     and kp % 128 == 0) else None
     if n_t is not None:
         m_t = _round_up(m, 8)
-        out = _make_int4_mm(blocksize, m_t, n_t)(x, q4, scales)
+        out = _make_int4_mm(blocksize, m_t, n_t, xmax_axis)(x, q4, scales)
     else:
         w = dequant_int4(q4, scales, blocksize, dtype=x.dtype)
         out = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),

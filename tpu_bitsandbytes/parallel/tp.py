@@ -26,16 +26,25 @@ from ..models.layers import QLinear4, linear_apply, rms_norm
 from .sharding import kv_cache_spec, llama_param_specs, spec_tree
 
 
-def _localize(w, strip_bias: bool = False):
+def _localize(w, strip_bias: bool = False, tp: int = 1,
+              row: bool = False):
     """Fix static shape metadata of a QLinear4 shard to its local arrays.
 
     ``strip_bias``: row-parallel linears must not add their bias per shard —
     the psum would multiply it by tp. The caller re-adds it once after the
     reduction.
+
+    ``tp``/``row``: cache-only int4 shards (packed dropped) carry grid-tile
+    padding in ``w_cache``, so the logical local dims derive from the
+    global ``shape`` instead (build_sharded_int4_cache pads each tp shard
+    uniformly); ``n_out`` then slices the pad rows off in int4_matmul.
     """
     if isinstance(w, QLinear4):
         if w.packed is not None:
             n, k = w.packed.shape[0], 2 * w.packed.shape[1]
+        elif w.w_cache.dtype == jnp.int4:
+            gn, gk = w.shape
+            n, k = (gn, gk // tp) if row else (gn // tp, gk)
         else:
             n, k = w.w_cache.shape
         st = w.absmax_state
@@ -44,8 +53,15 @@ def _localize(w, strip_bias: bool = False):
             # (the per-row scale is exact on any column subset).
             n_l, nb_l = w.absmax_q.shape
             st = dataclasses.replace(st, shape=(n_l, nb_l), blocksize=nb_l)
-        return dataclasses.replace(w, shape=(n, k), absmax_state=st,
-                                   bias=None if strip_bias else w.bias)
+        lw = dataclasses.replace(w, shape=(n, k), absmax_state=st,
+                                 bias=None if strip_bias else w.bias)
+        if row and tp > 1 and w.w_cache is not None \
+                and w.w_cache.dtype == jnp.int4:
+            # int4 A8 kernel on a row-parallel shard: mark the tp axis so
+            # the activation row-max is pmax'd (int4cache._make_int4_mm) —
+            # per-shard scales would diverge from the single-device engine
+            object.__setattr__(lw, "_tp_axis", "tp")
+        return lw
     if isinstance(w, dict) and strip_bias:        # fp {'w','b'} leaf
         return {"w": w["w"], "b": None}
     return w
@@ -76,7 +92,7 @@ def _tp_decode_impl(params, cache: KVCache, tokens, active,
     def wrap(w, row=False):
         # localize shard metadata; row-parallel biases are stripped here and
         # re-added once after the psum (else they'd be summed tp times)
-        return _localize(w, strip_bias=row)
+        return _localize(w, strip_bias=row, tp=tp, row=row)
 
     def reduce_fn(partial, w):
         full = jax.lax.psum(partial, tp_axis)
@@ -94,7 +110,7 @@ def _tp_decode_impl(params, cache: KVCache, tokens, active,
     if head is None:
         logits = x[:, 0] @ params["embed"].T.astype(x.dtype)
     else:
-        local = linear_apply(_localize(head), x[:, 0])   # [B, V/tp]
+        local = linear_apply(_localize(head, tp=tp), x[:, 0])   # [B, V/tp]
         logits = jax.lax.all_gather(local, tp_axis, axis=1, tiled=True)
     # epilogue applied AFTER assembling the full logits (all_gather)
     logits = llama.finish_logits(logits, config)
@@ -206,7 +222,7 @@ def _tp_verify_impl(params, cache: KVCache, tokens, active, key, samp,
                                               config)
 
     def wrap(w, row=False):
-        return _localize(w, strip_bias=row)
+        return _localize(w, strip_bias=row, tp=tp, row=row)
 
     def reduce_fn(part, w):
         full = jax.lax.psum(part, tp_axis)
@@ -224,7 +240,7 @@ def _tp_verify_impl(params, cache: KVCache, tokens, active, key, samp,
     if head is None:
         logits = x @ params["embed"].T.astype(x.dtype)     # [B, G1, V]
     else:
-        local = linear_apply(_localize(head), x)           # [B, G1, V/tp]
+        local = linear_apply(_localize(head, tp=tp), x)           # [B, G1, V/tp]
         logits = jax.lax.all_gather(local, tp_axis, axis=2, tiled=True)
     logits = llama.finish_logits(logits, config)
 
@@ -294,7 +310,7 @@ def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
     x = llama._embed_tokens(params, tokens, config)
 
     def wrap(w, row=False):
-        return _localize(w, strip_bias=row)
+        return _localize(w, strip_bias=row, tp=tp, row=row)
 
     def reduce_fn(partial, w):
         full = jax.lax.psum(partial, tp_axis)
@@ -323,7 +339,7 @@ def _tp_prefill_impl(params, cache: KVCache, tokens, slot, true_len,
     if head is None:
         logits = x_last @ params["embed"].T.astype(x_last.dtype)
     else:
-        local = linear_apply(_localize(head), x_last)   # [1, V/tp]
+        local = linear_apply(_localize(head, tp=tp), x_last)   # [1, V/tp]
         logits = jax.lax.all_gather(local, tp_axis, axis=1, tiled=True)
     # epilogue applied AFTER assembling the full logits (all_gather)
     logits = llama.finish_logits(logits, config)
@@ -422,7 +438,7 @@ def _tp_prefill_chunk_impl(params, cache: KVCache, tokens, slot, start,
                                               config)
 
     def wrap(w, row=False):
-        return _localize(w, strip_bias=row)
+        return _localize(w, strip_bias=row, tp=tp, row=row)
 
     def reduce_fn(partial, w):
         full = jax.lax.psum(partial, tp_axis)
@@ -481,6 +497,7 @@ def _tp_final_logits_impl(params, x, idx, config: llama.LlamaConfig,
                           tp_axis: str = "tp"):
     """Last-token logits from a final prefill chunk's hidden states
     (inside shard_map): local lm_head shard → [1, V/tp] → all_gather."""
+    tp = jax.lax.psum(1, tp_axis)
     xl = jnp.take_along_axis(
         x, jnp.broadcast_to(idx[None, None, None], (1, 1, x.shape[-1])),
         axis=1)[:, 0]                                   # [1, H]
@@ -489,7 +506,7 @@ def _tp_final_logits_impl(params, x, idx, config: llama.LlamaConfig,
     if head is None:
         logits = xl @ params["embed"].T.astype(xl.dtype)
     else:
-        local = linear_apply(_localize(head), xl)       # [1, V/tp]
+        local = linear_apply(_localize(head, tp=tp), xl)       # [1, V/tp]
         logits = jax.lax.all_gather(local, tp_axis, axis=1, tiled=True)
     logits = llama.finish_logits(logits, config)
     return logits[0]
