@@ -1,19 +1,21 @@
 """Measure the paged-optimizer prefetch-overlap claim (VERDICT r3 #9).
 
-optim/paged.py dispatches leaf i+1's H2D state page-in BEFORE leaf i's
-update math, claiming the copy "rides under the compute" via JAX async
-dispatch — the TPU analog of the reference's measured prefetch
-(mps_bitsandbytes/optim/paged.py:107-156). This probe times, on the real
-chip, K full PagedAdamW.step() calls under three dispatch orders:
+The reference overlaps the *next* parameter's H2D state page-in with the
+current parameter's update math (mps_bitsandbytes/optim/paged.py:107-156).
+This probe times, on the real chip, K full PagedAdamW.step() calls under
+three dispatch orders:
 
-  prefetch   — the shipped order (page-in i+1 issued before compute i)
-  at-use     — page-in i immediately before compute i (no lookahead)
+  prefetch   — lookahead order (page-in i+1 issued before compute i)
+  at-use     — page-in i immediately before compute i (no lookahead);
+               the SHIPPED order since round 5
   resident   — page_to_cpu=False (states never leave the device; the
                overlap-free lower bound on the step's compute+dispatch)
 
-and prints wall ms/step for each plus the prefetch/at-use ratio. The
-docstring claim stays only if prefetch measures faster than at-use
-(KERNEL_NOTES records the verdict).
+MEASURED round 5 (8 leaves x 32 MB of states per leaf per direction):
+prefetch 15916.8 ms/step vs at-use 11644.6 — ratio 1.367, i.e. NO
+overlap from JAX async dispatch on this host transport; the lookahead
+only widens peak in-flight transfer. optim/paged.py therefore pages each
+leaf in at use; KERNEL_NOTES round 5 records the verdict.
 
 Run: python -m kbench.paged_probe [--leaves 12] [--rows 2048] [--steps 5]
 """
@@ -37,15 +39,14 @@ def _sync(opt):
     opt.synchronize()
 
 
-def time_steps(opt, grads, n_steps, at_use=False):
+def time_steps(opt, grads, n_steps, lookahead=False):
     """Wall time of n_steps full optimizer steps (median-free total/step —
     page-in/page-out dominate; K steps amortize the first-dispatch compile).
-    ``at_use=True`` monkey-patches the step loop to page in each leaf only
-    when its compute needs it (no lookahead)."""
-    if at_use:
-        orig_step = type(opt).step
-
-        def step_at_use(self, g, params=None):
+    ``lookahead=True`` replaces the step loop with the prefetch order
+    (leaf i+1's page-in issued before leaf i's compute); the shipped
+    ``opt.step`` pages at use."""
+    if lookahead:
+        def step_lookahead(self, g, params=None):
             if params is not None:
                 self.params = params
             flat_p = self._flat_params()
@@ -57,8 +58,14 @@ def time_steps(opt, grads, n_steps, at_use=False):
             self.step_count += 1
             step = float(self.step_count)
             new_flat = []
-            for i in range(len(flat_p)):
-                m, v = self._page_in(i)          # no lookahead
+            n = len(flat_p)
+            staged = [None] * n
+            if n:
+                staged[0] = self._page_in(0)
+            for i in range(n):
+                if i + 1 < n:
+                    staged[i + 1] = self._page_in(i + 1)   # lookahead
+                m, v = staged[i]
                 p_new, m_new, v_new = _adam_leaf_step(
                     flat_p[i], m, v, flat_g[i], step, self.lr,
                     self.betas[0], self.betas[1], self.eps,
@@ -68,7 +75,7 @@ def time_steps(opt, grads, n_steps, at_use=False):
             self.params = self._treedef.unflatten(new_flat)
             return self.params
 
-        runner = lambda g: step_at_use(opt, g)
+        runner = lambda g: step_lookahead(opt, g)
     else:
         runner = opt.step
 
@@ -96,13 +103,13 @@ def main():
           f"{state_mb:.0f} MB of states paged per leaf per direction")
 
     ms = {}
-    for name, kw, at_use in (
+    for name, kw, lookahead in (
             ("resident", dict(page_to_cpu=False), False),
-            ("at-use", dict(page_to_cpu=True), True),
-            ("prefetch", dict(page_to_cpu=True), False)):
+            ("at-use", dict(page_to_cpu=True), False),
+            ("prefetch", dict(page_to_cpu=True), True)):
         opt = PagedAdamW(jax.tree_util.tree_map(jnp.copy, params),
                          lr=1e-3, **kw)
-        ms[name] = time_steps(opt, grads, args.steps, at_use=at_use)
+        ms[name] = time_steps(opt, grads, args.steps, lookahead=lookahead)
         print(f"  {name:9s} {ms[name]:9.1f} ms/step")
     ratio = ms["prefetch"] / ms["at-use"]
     print(f"prefetch/at-use = {ratio:.3f} "

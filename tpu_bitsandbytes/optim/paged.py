@@ -5,10 +5,15 @@ TPU-native rebuild of the reference paged optimizers
 and are paged onto the accelerator per-parameter at ``step()``:
 
 * same small/large parameter split at 32768 elements (:98-105);
-* the reference's async prefetch of the *next* parameter's states overlapped
-  with compute (:107-156) maps to JAX's async dispatch — the device_put for
-  leaf i+1 is issued before leaf i's update math, so the H2D copy rides
-  under the compute;
+* the reference's async prefetch of the *next* parameter's states
+  (:107-156) was built and MEASURED on the chip (kbench/paged_probe,
+  round 5): issuing leaf i+1's H2D device_put before leaf i's compute ran
+  1.37x SLOWER than paging each leaf in at use — JAX's async dispatch
+  gives no measurable H2D/compute overlap for this pattern on this
+  host-transport, and the lookahead only widens peak in-flight transfer.
+  The step loop therefore pages each leaf in immediately before its
+  update (the measured-faster order); KERNEL_NOTES round 5 records the
+  numbers;
 * page-out is an async device_put back to the host (:172-174); JAX tracks
   the dependency, so no manual ``synchronize()`` is required (the method
   exists for API parity).
@@ -141,16 +146,12 @@ class PagedAdamW(_PagedBase):
         step = float(self.step_count)
 
         n = len(flat_p)
-        # Page in leaf 0; then while computing leaf i, leaf i+1's H2D copy is
-        # already in flight (async dispatch) — the prefetch-overlap pattern.
-        staged = [None] * n
-        if n:
-            staged[0] = self._page_in(0)
+        # Page each leaf in at use: the lookahead-prefetch order measured
+        # 1.37x slower on chip (kbench/paged_probe — no H2D/compute overlap
+        # from async dispatch on this transport; see module docstring).
         new_flat = []
         for i in range(n):
-            if i + 1 < n:
-                staged[i + 1] = self._page_in(i + 1)
-            m, v = staged[i]
+            m, v = self._page_in(i)
             p_new, m_new, v_new = _adam_leaf_step(
                 flat_p[i], m, v, flat_g[i], step, self.lr, self.betas[0],
                 self.betas[1], self.eps, self.weight_decay, self._is_adamw)
@@ -210,14 +211,11 @@ class PagedLion(_PagedBase):
             self.state = [self._init_state_leaf(p, ("exp_avg",)) for p in flat_p]
 
         n = len(flat_p)
-        staged = [None] * n
-        if n:
-            staged[0] = self._page_in(0)
+        # At-use paging — measured faster than lookahead prefetch (see
+        # module docstring / kbench/paged_probe).
         new_flat = []
         for i in range(n):
-            if i + 1 < n:
-                staged[i + 1] = self._page_in(i + 1)
-            m = staged[i]
+            m = self._page_in(i)
             p_new, m_new = _lion_leaf_step(
                 flat_p[i], m, flat_g[i], self.lr, self.betas[0], self.betas[1],
                 self.weight_decay)
