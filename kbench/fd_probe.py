@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from kbench.attn_a8_probe import profile
+from kbench.fd_variants import mr_decode_attention
 from tpu_bitsandbytes.models.layers import gqa_attention_kv_quant
 from tpu_bitsandbytes.ops.flash_decode import flash_decode_attention
 
@@ -123,6 +124,18 @@ def main():
             staged=(stk, stks, stv, stvs, step), scale=scale)
         return o.reshape(b, 1, h, d)
 
+    # M: multiply-reduce Pallas variant (kbench/fd_variants)
+    def make_step_m(cd):
+        def step_m(q, kv):
+            kq, vq, ks, vs, stk, stv, stks, stvs = kv
+            o = mr_decode_attention(
+                q.reshape(b, h, d), kq[:, :, :t], ks[:, :, :t],
+                vq[:, :, :t], vs[:, :, :t], off,
+                staged=(stk, stks, stv, stvs, step), scale=scale,
+                compute_dtype=cd)
+            return o.reshape(b, 1, h, d)
+        return step_m
+
     def chain(step):
         @jax.jit
         def f(q, *flat):
@@ -135,17 +148,24 @@ def main():
         flat = [a for kv in kvs for a in kv]
         return lambda: f(q0, *flat)
 
-    # numerics: D vs P on the first KV (same masked softmax set)
+    # numerics: D vs P / M on the first KV (same masked softmax set)
     od = np.asarray(step_d(q0, kvs[0]), np.float32)
-    op = np.asarray(step_p(q0, kvs[0]), np.float32)
-    cos = (od * op).sum() / (np.linalg.norm(od) * np.linalg.norm(op) + 1e-9)
-    print(f"pallas vs staged-einsum cosine: {cos:.6f}  "
-          f"max rel {np.abs(op-od).max()/(np.abs(od).max()+1e-9):.2e}")
+    for nm, st in (("P i8", step_p), ("M f32", make_step_m(jnp.float32)),
+                   ("M bf16", make_step_m(jnp.bfloat16))):
+        o2 = np.asarray(st(q0, kvs[0]), np.float32)
+        cos = (od * o2).sum() / (np.linalg.norm(od) * np.linalg.norm(o2)
+                                 + 1e-9)
+        print(f"{nm:7s} vs staged-einsum cosine: {cos:.6f}  "
+              f"max rel {np.abs(o2-od).max()/(np.abs(od).max()+1e-9):.2e}")
 
     profile("A plain (isolated)", chain(step_a), kv_bytes, NREPS)
     profile("C plain + mask", chain(step_c), kv_bytes, NREPS)
     profile("D staged in-situ formulation", chain(step_d), kv_bytes, NREPS)
-    profile("P pallas flash_decode", chain(step_p), kv_bytes, NREPS)
+    profile("P pallas flash_decode (r3)", chain(step_p), kv_bytes, NREPS)
+    profile("M pallas multiply-reduce f32",
+            chain(make_step_m(jnp.float32)), kv_bytes, NREPS)
+    profile("M pallas multiply-reduce bf16",
+            chain(make_step_m(jnp.bfloat16)), kv_bytes, NREPS)
 
 
 if __name__ == "__main__":
