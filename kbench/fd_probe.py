@@ -124,6 +124,53 @@ def main():
             staged=(stk, stks, stv, stvs, step), scale=scale)
         return o.reshape(b, 1, h, d)
 
+    # E: compact-window single-block — the main span is FROZEN during a
+    # decode chunk (staged writes go to separate buffers), so a per-chunk
+    # copy into a contiguous [B,H,span+C,D] window with the staged tokens
+    # at the tail turns the whole staged structure into ONE unsliced
+    # einsum chain + a 2D-kpos mask. The copy amortizes over the chunk
+    # (~16.7 MB/layer per 32 steps = <1% of step time).
+    len0 = off - step                       # pre-chunk lengths per slot
+    w = t + c
+    kpos_main = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    kpos_st = len0[:, None] + jnp.arange(c)[None, :]
+    kpos2d = jnp.concatenate([kpos_main, kpos_st], axis=1)   # [B, W]
+    in_main = jnp.arange(w)[None, :] < t
+    keep2d = ((kpos2d <= off[:, None])
+              & (~in_main | (kpos2d <= len0[:, None] - 1)))  # [B, W]
+    ekvs = []
+    for kv in kvs:
+        kq, vq, ks, vs, stk, stv, stks, stvs = kv
+        ekvs.append((jnp.concatenate([kq[:, :, :t], stk], axis=2),
+                     jnp.concatenate([vq[:, :, :t], stv], axis=2),
+                     jnp.concatenate([ks[:, :, :t], stks], axis=2),
+                     jnp.concatenate([vs[:, :, :t], stvs], axis=2)))
+
+    def step_e(q, kv):
+        kq, vq, ks, vs = kv[0], kv[1], kv[2], kv[3]
+        qg = q.reshape(b, 1, h, 1, d).astype(jnp.bfloat16)
+        lg = jnp.einsum("bshrd,bhtd->bhrst", qg, kq.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        lg = lg * (ks * (scale / 127.0))[:, :, None, None, :]
+        lg = jnp.where(keep2d[:, None, None, None, :], lg, -1e30)
+        p = jax.nn.softmax(lg, axis=-1)
+        pv = (p * (vs / 127.0)[:, :, None, None, :]).astype(jnp.bfloat16)
+        o = jnp.einsum("bhrst,bhtd->bshrd", pv, vq.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return o.reshape(b, 1, h, d)
+
+    def chain_e():
+        @jax.jit
+        def f(q, *flat):
+            kvs2 = [flat[i * 4:(i + 1) * 4] for i in range(NREPS)]
+            x = q
+            for kv in kvs2:
+                o = step_e(x, kv)
+                x = (x + o.astype(x.dtype) * 1e-3)
+            return x
+        flat = [a for kv in ekvs for a in kv]
+        return lambda: f(q0, *flat)
+
     # M: multiply-reduce Pallas variant (kbench/fd_variants)
     def make_step_m(cd):
         def step_m(q, kv):
@@ -148,9 +195,10 @@ def main():
         flat = [a for kv in kvs for a in kv]
         return lambda: f(q0, *flat)
 
-    # numerics: D vs P / M on the first KV (same masked softmax set)
+    # numerics: D vs E / P / M on the first KV (same masked softmax set)
     od = np.asarray(step_d(q0, kvs[0]), np.float32)
-    for nm, st in (("P i8", step_p), ("M f32", make_step_m(jnp.float32)),
+    for nm, st in (("E cw", lambda q, kv: step_e(q, ekvs[0])),
+                   ("P i8", step_p), ("M f32", make_step_m(jnp.float32)),
                    ("M bf16", make_step_m(jnp.bfloat16))):
         o2 = np.asarray(st(q0, kvs[0]), np.float32)
         cos = (od * o2).sum() / (np.linalg.norm(od) * np.linalg.norm(o2)
@@ -161,6 +209,7 @@ def main():
     profile("A plain (isolated)", chain(step_a), kv_bytes, NREPS)
     profile("C plain + mask", chain(step_c), kv_bytes, NREPS)
     profile("D staged in-situ formulation", chain(step_d), kv_bytes, NREPS)
+    profile("E compact-window single-block", chain_e(), kv_bytes, NREPS)
     profile("P pallas flash_decode (r3)", chain(step_p), kv_bytes, NREPS)
     profile("M pallas multiply-reduce f32",
             chain(make_step_m(jnp.float32)), kv_bytes, NREPS)

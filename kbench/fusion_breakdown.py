@@ -89,6 +89,8 @@ def main():
     ap.add_argument("--attn-span", type=int, default=256)
     ap.add_argument("--runtime-cache", default="int8")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--window", type=int, default=1,
+                    help="compact-window staged decode (0 = two-block)")
     args = ap.parse_args()
     fmt = None if args.runtime_cache == "none" else args.runtime_cache
 
@@ -106,7 +108,7 @@ def main():
         _, _, cache, tokens, active, key, _, _ = decode_chunk(
             params, cache, tokens, active, key, samp, config,
             n_steps=args.chunk_steps, all_greedy=True,
-            attn_span=args.attn_span)
+            attn_span=args.attn_span, window_stage=bool(args.window))
         return cache, tokens, active, key
 
     state = (cache, jnp.zeros((args.batch,), jnp.int32),

@@ -1303,3 +1303,111 @@ class TestRuntimeCacheAuto:
             if isinstance(l, QLinear4)]
         assert leaves and all(l.w_cache is None and l.packed is not None
                               for l in leaves)
+
+
+class TestWindowStage:
+    """Compact-window staged decode (round 5, kvcache.KVStage cut>0): the
+    stage carries a contiguous copy of the attention span in front of the
+    staged tail. Flush, read_stage, and chunk outputs must be equivalent
+    to the plain two-block stage (window=False)."""
+
+    L, B, S, H, D = 2, 3, 16, 2, 8
+
+    def _filled_cache(self, seed=0, lengths=(5, 9, 12)):
+        import dataclasses
+        rng = np.random.default_rng(seed)
+        c = KVCache.create(self.L, self.B, self.S, self.H, self.D,
+                           quantized=True, dtype=jnp.float32)
+        for p in range(max(lengths)):
+            pos = jnp.full((self.B,), p, jnp.int32)
+            for li in range(self.L):
+                k = jnp.asarray(rng.standard_normal(
+                    (self.B, 1, self.H, self.D)), jnp.float32)
+                v = jnp.asarray(rng.standard_normal(
+                    (self.B, 1, self.H, self.D)), jnp.float32)
+                c = c.write_decode(li, k, v, pos)
+        return dataclasses.replace(
+            c, lengths=jnp.asarray(lengths, jnp.int32))
+
+    def _run_chunk_writes(self, cache, window, n=4, span=None, start=0,
+                          seed=7):
+        import dataclasses
+        c = cache.begin_stage(n, span=span, start=start, window=window)
+        assert c.stage is not None
+        assert (c.stage.cut > 0) == window
+        rng = np.random.default_rng(seed)
+        for _ in range(n):
+            pos = c.lengths
+            for li in range(self.L):
+                k = jnp.asarray(rng.standard_normal(
+                    (self.B, 1, self.H, self.D)), jnp.float32)
+                v = jnp.asarray(rng.standard_normal(
+                    (self.B, 1, self.H, self.D)), jnp.float32)
+                c = c.write_decode(li, k, v, pos)
+            c = dataclasses.replace(c, lengths=c.lengths + 1)
+            c = c.advance_stage()
+        return c
+
+    @pytest.mark.parametrize("lengths,span", [
+        ((5, 9, 12), None),        # plain mid-decode
+        ((12, 9, 11), None),       # boundary: len0 == S - C (DUS clamp)
+        ((5, 9, 12), 16),          # explicit span == S
+    ])
+    def test_flush_matches_plain_stage(self, lengths, span):
+        base = self._filled_cache(lengths=lengths)
+        fw = self._run_chunk_writes(base, window=True, span=span
+                                    ).flush_stage()
+        fp = self._run_chunk_writes(base, window=False, span=span
+                                    ).flush_stage()
+        for a, b in ((fw.k, fp.k), (fw.v, fp.v),
+                     (fw.k_scale, fp.k_scale), (fw.v_scale, fp.v_scale)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_read_stage_tail_matches_plain(self):
+        base = self._filled_cache()
+        cw = self._run_chunk_writes(base, window=True)
+        cp = self._run_chunk_writes(base, window=False)
+        for li in range(self.L):
+            for a, b in zip(cw.read_stage(li)[:4], cp.read_stage(li)[:4]):
+                assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_window_prefix_is_the_span_copy(self):
+        base = self._filled_cache()
+        cw = self._run_chunk_writes(base, window=True, span=8)
+        st = cw.stage
+        assert st.cut == 8
+        assert np.array_equal(np.asarray(st.k[:, :, :, :8]),
+                              np.asarray(base.k[:, :, :, :8]))
+
+    def test_chunk_tokens_identical_window_vs_twoblock(self, tiny_model,
+                                                       rng):
+        """decode_chunk(window_stage=True) == (False) token-for-token on a
+        quantized-KV f32 model (single-block vs two-block softmax over the
+        same attended set)."""
+        from tpu_bitsandbytes.engine.engine import decode_chunk
+        from tpu_bitsandbytes.engine.sampler import SamplingArrays
+        cfg, params = tiny_model
+        B, n, prompt_len = 2, 6, 5
+        prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)),
+                             jnp.int32)
+
+        def fresh():
+            c = KVCache.create(cfg.num_layers, B, 32, cfg.num_kv_heads,
+                               cfg.hd, quantized=True, dtype=jnp.float32)
+            for slot in range(B):
+                _, c = prefill_step(params, c, prompt, jnp.int32(slot),
+                                    jnp.int32(prompt_len), cfg)
+            return c
+
+        tokens0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (B,)),
+                              jnp.int32)
+        active0 = jnp.ones((B,), bool)
+        samp = SamplingArrays.build({}, B)
+        outs = {}
+        for window in (True, False):
+            toks_seq, *_ = decode_chunk(
+                params, fresh(), tokens0, active0, jax.random.PRNGKey(0),
+                samp, cfg, n_steps=n, all_greedy=True,
+                window_stage=window)
+            outs[window] = np.asarray(toks_seq)
+        assert np.array_equal(outs[True], outs[False])

@@ -15,6 +15,7 @@ drives HF's Python ``generate`` loop token by token). TPU-native design:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict, List, Optional
 
@@ -70,7 +71,7 @@ def decode_step(params, cache: KVCache, tokens: jnp.ndarray, active: jnp.ndarray
 
 @partial(jax.jit,
          static_argnames=("config", "n_steps", "all_greedy", "attn_span",
-                          "want_logprobs", "attn_start"),
+                          "want_logprobs", "attn_start", "window_stage"),
          donate_argnums=(1,))
 def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
                  active: jnp.ndarray, key: jax.Array, samp,
@@ -79,7 +80,8 @@ def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
                  attn_span: Optional[int] = None,
                  seen_mask: Optional[jnp.ndarray] = None,
                  want_logprobs: bool = False,
-                 attn_start: int = 0):
+                 attn_start: int = 0,
+                 window_stage: bool = True):
     """Advance every slot up to ``n_steps`` tokens in ONE jit call.
 
     Sampling (per-slot :class:`SamplingArrays`) and EOS handling run on
@@ -130,7 +132,8 @@ def decode_chunk(params, cache: KVCache, tokens: jnp.ndarray,
         active = active & ~hit_eos & (cache.lengths < max_seq - 1)
         return (cache, toks, active, key, seen), (toks, emitted_by, lp)
 
-    cache = cache.begin_stage(n_steps)
+    cache = cache.begin_stage(n_steps, span=attn_span, start=attn_start,
+                              window=window_stage)
     if cache.stage is not None:
         # Staged chunks never mutate the main KV planes inside the scan
         # (writes go to the stage buffers) — keep k/v/scales OUT of the
@@ -560,6 +563,24 @@ class DecodeEngine:
             self._tp_final = None
             self._tp_verify = None
         self.cache = cache
+        # compact-window staged decode: built round 5, measured SLOWER in
+        # situ (7.28 vs 6.50 ms/step at 7B B=8 bench despite winning
+        # 30.0-vs-51.2 us/layer in the unrolled probe chain — in the real
+        # scan XLA fuses the two-block path into 4 big convert+dot fusions
+        # while the single-block window splits softmax into ~0.5 ms/step
+        # of small fusions and pays ~0.25 ms/step of window-build copies;
+        # kbench/fd_probe + fusion_breakdown --window, KERNEL_NOTES r5).
+        # Kept as an opt-in (TBNB_WINDOW_STAGE=1) with the same budget
+        # gate; default OFF per the measurement.
+        self._window_stage = (cache.quantized and not cache.ring
+                              and os.environ.get("TBNB_WINDOW_STAGE", "0")
+                              == "1")
+        if self._window_stage:
+            est = self.footprint()
+            win = est["kv"] * (self.max_seq + self.steps_per_sync
+                               ) / self.max_seq
+            self._window_stage = (est["total"] + win
+                                  <= 0.92 * est["budget"])
         self.key = jax.random.PRNGKey(seed)
         self._uid = 0
         self.waiting: List[Request] = []
@@ -1058,7 +1079,7 @@ class DecodeEngine:
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(active_mask), sub, samp, self._mesh_seen_mask(),
                 all_greedy=all_greedy, attn_span=span, attn_start=a_start,
-                want_logprobs=want_lp)
+                want_logprobs=want_lp, window_stage=self._window_stage)
             emitted, _ = self._collect_chunk(toks_seq, act_seq,
                                              lp_seq if want_lp else None)
             self.metrics.record(emitted, _time.perf_counter() - t0)
@@ -1076,7 +1097,8 @@ class DecodeEngine:
             jnp.asarray(active_mask), sub, samp, self.config,
             n_steps=self.steps_per_sync, all_greedy=all_greedy,
             attn_span=a_span, seen_mask=seen,
-            want_logprobs=want_lp, attn_start=a_start)
+            want_logprobs=want_lp, attn_start=a_start,
+            window_stage=self._window_stage)
         emitted, _ = self._collect_chunk(toks_seq, act_seq,
                                          lp_seq if want_lp else None)
         self.metrics.record(emitted, _time.perf_counter() - t0)
@@ -1270,13 +1292,15 @@ class DecodeEngine:
                     toks_seq, _, scratch, *_ = self._tp_decode(
                         self.params, scratch, zero_toks, all_active,
                         jax.random.PRNGKey(0), samp, mask,
-                        attn_span=span, attn_start=a_start, **var)
+                        attn_span=span, attn_start=a_start,
+                        window_stage=self._window_stage, **var)
                 else:
                     toks_seq, _, scratch, *_ = decode_chunk(
                         self.params, scratch, zero_toks, all_active,
                         jax.random.PRNGKey(0), samp, self.config,
                         n_steps=self.steps_per_sync,
-                        attn_span=span, attn_start=a_start, **var)
+                        attn_span=span, attn_start=a_start,
+                        window_stage=self._window_stage, **var)
             jax.block_until_ready(toks_seq)
         plan["seconds"] = _time.perf_counter() - _t0
         return plan
@@ -1433,7 +1457,8 @@ class DecodeEngine:
                      seen) = self._tp_decode(
                         self.params, self.cache, *carry, sub, samp, seen,
                         all_greedy=all_greedy, attn_span=span,
-                        attn_start=a_start, want_logprobs=want_lp)
+                        attn_start=a_start, want_logprobs=want_lp,
+                        window_stage=self._window_stage)
                     carry = [tok_d, act_d]
                     inflight.append((toks_seq, act_seq,
                                      lp_seq if want_lp else None))
@@ -1446,7 +1471,8 @@ class DecodeEngine:
                             self.config, n_steps=self.steps_per_sync,
                             all_greedy=all_greedy, attn_span=span,
                             seen_mask=seen, want_logprobs=want_lp,
-                            attn_start=a_start)
+                            attn_start=a_start,
+                            window_stage=self._window_stage)
                     carry = [tok_d, act_d]
                     inflight.append((toks_seq, act_seq,
                                      lp_seq if want_lp else None))

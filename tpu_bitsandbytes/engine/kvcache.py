@@ -35,28 +35,43 @@ class KVStage:
     B=8) instead of scattering into the main cache at per-slot ragged
     positions (~3.1 ms/step, 21% of the decode step — kbench/kv_write_probe).
     The whole buffer is flushed into the main cache once per chunk.
+
+    **Compact-window mode** (``cut > 0``, the round-5 default): the buffers
+    additionally carry a contiguous copy of the main cache's attention span
+    in front of the staged tail — ``[.., :cut, .]`` is the frozen
+    ``[attn_start, attn_span)`` window, ``[.., cut:, .]`` the per-step
+    staged tokens. Decode attention then runs as ONE unsliced single-block
+    softmax over the whole window (models.layers.gqa_attention_kv_window)
+    instead of the two-block staged structure over a strided span slice —
+    measured 30.0 vs 51.2 us/layer-step at 7B B=8 bench shapes
+    (kbench/fd_probe: the span slice cost ~10 us/layer, the two-block
+    staged softmax another ~17). The window copy amortizes over the chunk
+    (one contiguous span read+write per layer per chunk, <1% of step time).
     """
 
-    k: jnp.ndarray            # int8 [L, B, H, C, D]
+    k: jnp.ndarray            # int8 [L, B, H, cut + C, D]
     v: jnp.ndarray
-    k_scale: jnp.ndarray      # f32 [L, B, H, C]
+    k_scale: jnp.ndarray      # f32 [L, B, H, cut + C]
     v_scale: jnp.ndarray
     step: jnp.ndarray         # int32 scalar: next write index in [0, C)
     len0: jnp.ndarray         # int32 [B]: per-slot lengths at chunk start
+    cut: int = 0              # static: window prefix length (0 = no window)
 
     def tree_flatten(self):
         return ((self.k, self.v, self.k_scale, self.v_scale, self.step,
-                 self.len0), ())
+                 self.len0), (self.cut,))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = cls.__new__(cls)
         (obj.k, obj.v, obj.k_scale, obj.v_scale, obj.step, obj.len0) = leaves
+        obj.cut = aux[0]
         return obj
 
     @property
     def size(self) -> int:
-        return self.k.shape[3]
+        """Staged capacity C (chunk steps), excluding the window prefix."""
+        return self.k.shape[3] - self.cut
 
 
 @jax.tree_util.register_pytree_node_class
@@ -133,17 +148,46 @@ class KVCache:
         return self.k.shape[2]
 
     # -- chunk staging --------------------------------------------------
-    def begin_stage(self, n_steps: int) -> "KVCache":
+    def begin_stage(self, n_steps: int, span: Optional[int] = None,
+                    start: int = 0, window: bool = True) -> "KVCache":
         """Allocate per-chunk staging buffers (decode_chunk calls this
         inside jit, before its scan; flush_stage after). Single-token
         decode writes then go to the stage at the uniform chunk-step index
         instead of scattering into the main cache (kbench/kv_write_probe:
         15x cheaper). No-op for ring or unquantized caches — ring indices
         wrap onto live entries so the tail-garbage contract below does not
-        hold, and the unquantized path is the compatibility path."""
+        hold, and the unquantized path is the compatibility path.
+
+        ``window=True`` (and ``span``/``start`` from the chunk's static
+        attention window): compact-window mode — the stage buffers carry a
+        contiguous copy of the main span in front of the staged tail, and
+        attention reads the whole window single-block (see KVStage). The
+        engine passes ``window=False`` when the window copy does not fit
+        the HBM budget (the footprint gate) — attention then falls back to
+        the two-block staged formulation over the strided span."""
         if self.ring or not self.quantized or n_steps > self.k.shape[3]:
             return self
         l, b, h, s, d = self.k.shape
+        if window:
+            hi = span if span is not None else s
+            cut = hi - start
+            sl = slice(start, hi)
+            stage = KVStage(
+                k=jnp.concatenate(
+                    [self.k[:, :, :, sl],
+                     jnp.zeros((l, b, h, n_steps, d), jnp.int8)], axis=3),
+                v=jnp.concatenate(
+                    [self.v[:, :, :, sl],
+                     jnp.zeros((l, b, h, n_steps, d), jnp.int8)], axis=3),
+                k_scale=jnp.concatenate(
+                    [self.k_scale[:, :, :, sl],
+                     jnp.ones((l, b, h, n_steps), jnp.float32)], axis=3),
+                v_scale=jnp.concatenate(
+                    [self.v_scale[:, :, :, sl],
+                     jnp.ones((l, b, h, n_steps), jnp.float32)], axis=3),
+                step=jnp.zeros((), jnp.int32),
+                len0=self.lengths, cut=cut)
+            return dataclasses.replace(self, stage=stage)
         stage = KVStage(
             k=jnp.zeros((l, b, h, n_steps, d), jnp.int8),
             v=jnp.zeros((l, b, h, n_steps, d), jnp.int8),
@@ -165,10 +209,20 @@ class KVCache:
     def read_stage(self, layer: int):
         """Staged codes+scales for a layer: (k [B,H,C,D], k_scale [B,H,C],
         v, v_scale, step). The staged block joins the attention as a second
-        KV source (models.layers.gqa_attention_kv_quant staged= operands)."""
+        KV source (models.layers.gqa_attention_kv_quant staged= operands).
+        In compact-window mode this is the window's tail."""
+        st = self.stage
+        c = st.cut
+        return (st.k[layer][:, :, c:], st.k_scale[layer][:, :, c:],
+                st.v[layer][:, :, c:], st.v_scale[layer][:, :, c:], st.step)
+
+    def read_window(self, layer: int):
+        """Whole compact window for a layer (compact-window staged mode
+        only): (k [B,H,W,D], k_scale [B,H,W], v, v_scale) with
+        W = cut + C. Feed models.layers.gqa_attention_kv_window."""
         st = self.stage
         return (st.k[layer], st.k_scale[layer], st.v[layer],
-                st.v_scale[layer], st.step)
+                st.v_scale[layer])
 
     def flush_stage(self, pin_layout: bool = False) -> "KVCache":
         """Write the chunk's staged K/V back into the main cache and drop
@@ -231,19 +285,23 @@ class KVCache:
             new = jnp.where(keep_sh, jnp.take(stg, take, axis=3), cur)
             return jax.lax.dynamic_update_slice(buf, new, at)
 
+        # compact-window mode: the staged entries are the window's tail
+        stk, stv = st.k[:, :, :, st.cut:], st.v[:, :, :, st.cut:]
+        stks, stvs = (st.k_scale[:, :, :, st.cut:],
+                      st.v_scale[:, :, :, st.cut:])
         for bi in range(b):
             start = jnp.minimum(st.len0[bi], s - c)
             off = st.len0[bi] - start
             take = jnp.clip(idx_c - off, 0, c - 1)
             keep = (idx_c >= off) & (idx_c < off + valid[bi])
             at5 = (0, bi, 0, start, 0)
-            k = overlay(k, st.k[:, bi:bi+1], at5, take,
+            k = overlay(k, stk[:, bi:bi+1], at5, take,
                         keep[None, None, None, :, None])
-            v = overlay(v, st.v[:, bi:bi+1], at5, take,
+            v = overlay(v, stv[:, bi:bi+1], at5, take,
                         keep[None, None, None, :, None])
-            ks = overlay(ks, st.k_scale[:, bi:bi+1], at5[:4], take,
+            ks = overlay(ks, stks[:, bi:bi+1], at5[:4], take,
                          keep[None, None, None, :])
-            vs = overlay(vs, st.v_scale[:, bi:bi+1], at5[:4], take,
+            vs = overlay(vs, stvs[:, bi:bi+1], at5[:4], take,
                          keep[None, None, None, :])
         return dataclasses.replace(self, k=k, v=v, k_scale=ks, v_scale=vs,
                                    stage=None)
@@ -352,7 +410,7 @@ class KVCache:
             st = self.stage
             kq, ks = self._quant(jnp.swapaxes(k_new, 1, 2))   # [B,H,1,D]
             vq, vs = self._quant(jnp.swapaxes(v_new, 1, 2))
-            at = (layer, 0, 0, st.step, 0)
+            at = (layer, 0, 0, st.cut + st.step, 0)
             stage = dataclasses.replace(
                 st,
                 k=jax.lax.dynamic_update_slice(st.k, kq[None], at),

@@ -126,6 +126,7 @@ def _tp_decode_chunk_impl(params, cache: KVCache, tokens, active, key, samp,
                           all_greedy: bool = False, attn_span=None,
                           attn_start: int = 0,
                           want_logprobs: bool = False,
+                          window_stage: bool = True,
                           tp_axis: str = "tp", dp_axis: str = "dp"):
     """n_steps TP decode steps + on-device sampling in one shard_map body —
     the mesh counterpart of engine.decode_chunk (one dispatch per chunk
@@ -166,7 +167,8 @@ def _tp_decode_chunk_impl(params, cache: KVCache, tokens, active, key, samp,
         active = active & ~hit_eos & (cache.lengths < max_seq - 1)
         return (cache, toks, active, key, seen), (toks, emitted_by, lp)
 
-    cache = cache.begin_stage(n_steps)
+    cache = cache.begin_stage(n_steps, span=attn_span, start=attn_start,
+                              window=window_stage)
     if cache.stage is not None:
         # keep the immutable KV planes out of the scan carry (same
         # full-buffer-copy avoidance as engine.decode_chunk)
@@ -385,15 +387,17 @@ def make_tp_decode_chunk(mesh: Mesh, params, config: llama.LlamaConfig,
     samp_spec = SamplingArrays(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"))
 
     @partial(jax.jit, static_argnames=("all_greedy", "attn_span",
-                                       "attn_start", "want_logprobs"),
+                                       "attn_start", "want_logprobs",
+                                       "window_stage"),
              donate_argnums=(1,))
     def chunk(params, cache, tokens, active, key, samp, seen_mask,
               all_greedy=False, attn_span=None, attn_start=0,
-              want_logprobs=False):
+              want_logprobs=False, window_stage=True):
         fn = shard_map(
             partial(_tp_decode_chunk_impl, config=config, n_steps=n_steps,
                     all_greedy=all_greedy, attn_span=attn_span,
-                    attn_start=attn_start, want_logprobs=want_logprobs),
+                    attn_start=attn_start, want_logprobs=want_logprobs,
+                    window_stage=window_stage),
             mesh=mesh,
             in_specs=(pspecs, cspec, P("dp"), P("dp"), P(), samp_spec,
                       P("dp", None)),
