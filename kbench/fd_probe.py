@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from kbench.attn_a8_probe import profile
 from kbench.fd_variants import mr_decode_attention
+from kbench.fd_tm import tm_decode_attention
 from tpu_bitsandbytes.models.layers import gqa_attention_kv_quant
 from tpu_bitsandbytes.ops.flash_decode import flash_decode_attention
 
@@ -171,6 +172,15 @@ def main():
         flat = [a for kv in ekvs for a in kv]
         return lambda: f(q0, *flat)
 
+    # T: T-as-M flipped-orientation Pallas kernel (kbench/fd_tm)
+    def step_t(q, kv):
+        kq, vq, ks, vs, stk, stv, stks, stvs = kv
+        o = tm_decode_attention(
+            q.reshape(b, h, d), kq[:, :, :t], ks[:, :, :t],
+            vq[:, :, :t], vs[:, :, :t], off,
+            staged=(stk, stks, stv, stvs, step), scale=scale)
+        return o.reshape(b, 1, h, d)
+
     # M: multiply-reduce Pallas variant (kbench/fd_variants)
     def make_step_m(cd):
         def step_m(q, kv):
@@ -198,7 +208,8 @@ def main():
     # numerics: D vs E / P / M on the first KV (same masked softmax set)
     od = np.asarray(step_d(q0, kvs[0]), np.float32)
     for nm, st in (("E cw", lambda q, kv: step_e(q, ekvs[0])),
-                   ("P i8", step_p), ("M f32", make_step_m(jnp.float32)),
+                   ("P i8", step_p), ("T i8", step_t),
+                   ("M f32", make_step_m(jnp.float32)),
                    ("M bf16", make_step_m(jnp.bfloat16))):
         o2 = np.asarray(st(q0, kvs[0]), np.float32)
         cos = (od * o2).sum() / (np.linalg.norm(od) * np.linalg.norm(o2)
@@ -211,6 +222,7 @@ def main():
     profile("D staged in-situ formulation", chain(step_d), kv_bytes, NREPS)
     profile("E compact-window single-block", chain_e(), kv_bytes, NREPS)
     profile("P pallas flash_decode (r3)", chain(step_p), kv_bytes, NREPS)
+    profile("T pallas T-as-M", chain(step_t), kv_bytes, NREPS)
     profile("M pallas multiply-reduce f32",
             chain(make_step_m(jnp.float32)), kv_bytes, NREPS)
     profile("M pallas multiply-reduce bf16",
