@@ -245,15 +245,22 @@ def run_speculative(args, config, params):
     prompts = [s + g for s, g in zip(seeds, gen)]
     sp = SamplingParams(max_new_tokens=args.spec_tokens)
 
-    print("timing plain greedy decode...", file=sys.stderr)
-    plain.generate(prompts, SamplingParams(max_new_tokens=8))   # compile
+    # Warm up with a FULL-LENGTH run: the verify/decode programs are
+    # compiled per attention-span bucket, and on the tunneled chip one
+    # compile costs ~40 s — an 8-token warmup leaves the buckets the
+    # timed run crosses uncompiled (the round-5 first cut measured
+    # 13 tok/s of which ~78 s was two mid-run compiles).
+    print("timing plain greedy decode (full-length warmup first)...",
+          file=sys.stderr)
+    plain.generate(prompts, sp)                                 # compile
     t0 = time.time()
     ref = plain.generate(prompts, sp)
     dt_plain = time.time() - t0
 
     spec = make("ngram")
-    print("timing speculative decode...", file=sys.stderr)
-    spec.generate(prompts, SamplingParams(max_new_tokens=8))    # compile
+    print("timing speculative decode (full-length warmup first)...",
+          file=sys.stderr)
+    spec.generate(prompts, sp)                                  # compile
     spec.spec_stats = {"verify_steps": 0, "drafted": 0, "accepted": 0}
     t0 = time.time()
     out = spec.generate(prompts, sp)
